@@ -1,0 +1,245 @@
+"""Image encoders: pixel-aligned spatial, global, and experimental conv.
+
+TPU-native re-design of the reference's src/model/encoder.py:
+
+* `SpatialEncoder` (encoder.py:13-177): ResNet trunk, every stage feature
+  map bilinearly upsampled (align_corners=True) to the stem resolution and
+  channel-concatenated — here via MXU interpolation matmuls
+  (ops/interpolate.py). Returns an explicit (latent, latent_scaling) pair
+  instead of module buffers; the pixel-feature lookup `index` is a free
+  function over that state (grid_sample_2d, golden-matched to
+  F.grid_sample border/align_corners=True, encoder.py:80-109).
+* `ImageEncoder` (encoder.py:180-241): full trunk + global average pool
+  (+ optional projection) producing one latent vector per view.
+* `ConvEncoder` (custom_encoder.py:7-94): simple down/up conv net with skip
+  connections; experimental in the reference and here.
+
+Layout is NHWC throughout (TPU-native); channel dim rides the 128-lane axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from pixelnerf_tpu.models.resnet import ResNetTrunk, _conv_init, _make_norm
+from pixelnerf_tpu.ops.grid_sample import grid_sample_2d
+from pixelnerf_tpu.ops.interpolate import resize_area, resize_bilinear
+
+__all__ = ["SpatialEncoder", "ImageEncoder", "ConvEncoder", "index_features"]
+
+# latent channel count by num_layers for resnet18/34 (reference encoder.py:68)
+_LATENT_SIZES = [0, 64, 128, 256, 512, 1024]
+
+
+def latent_scaling_for(latent_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(2,) [sx, sy] pixel->grid scaling, reference encoder.py:161-163."""
+    Hl, Wl = latent_hw
+    s = np.array([Wl, Hl], dtype=np.float32)
+    return jnp.asarray(s / (s - 1.0) * 2.0)
+
+
+def index_features(
+    latent: jnp.ndarray,
+    latent_scaling: jnp.ndarray,
+    uv: jnp.ndarray,
+    image_size: jnp.ndarray,
+    index_interp: str = "bilinear",
+    index_padding: str = "border",
+) -> jnp.ndarray:
+    """Pixel-aligned feature lookup.
+
+    :param latent (B, Hl, Wl, C)
+    :param uv (B, N, 2) image points (x, y) in *input image* pixel coords
+    :param image_size (2,) [W, H] of the input image
+    :return (B, N, C)
+    Reference: SpatialEncoder.index, src/model/encoder.py:80-109.
+    """
+    scale = latent_scaling / image_size  # (2,)
+    grid = uv * scale - 1.0
+    return grid_sample_2d(
+        latent, grid, padding_mode=index_padding, align_corners=True,
+        mode=index_interp,
+    )
+
+
+class SpatialEncoder(nn.Module):
+    """Pixel-aligned feature pyramid encoder.
+
+    :param backbone 'resnet18' | 'resnet34' | 'custom'
+    :param num_layers number of feature maps (1-5): stem + (num_layers-1) stages
+    :param use_first_pool skip stem maxpool when False (64x64 configs)
+    :param feature_scale pre-resize factor on the input image
+    """
+
+    backbone: str = "resnet34"
+    pretrained: bool = True  # weights ported externally; see resnet.py docstring
+    num_layers: int = 4
+    index_interp: str = "bilinear"
+    index_padding: str = "border"
+    upsample_interp: str = "bilinear"
+    feature_scale: float = 1.0
+    use_first_pool: bool = True
+    norm_type: str = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def latent_size(self) -> int:
+        if self.backbone == "custom":
+            return 128
+        return _LATENT_SIZES[self.num_layers]
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """:param x images (B, H, W, 3) in [-1, 1]
+        :return (latent (B, Hl, Wl, C), latent_scaling (2,))
+        """
+        if self.feature_scale != 1.0:
+            Ho = int(round(x.shape[1] * self.feature_scale))
+            Wo = int(round(x.shape[2] * self.feature_scale))
+            if self.feature_scale < 1.0:
+                x = resize_area(x, (Ho, Wo))
+            else:
+                x = resize_bilinear(x, (Ho, Wo), align_corners=True)
+
+        if self.backbone == "custom":
+            latent = ConvEncoder(dtype=self.dtype, name="model")(x)
+        else:
+            latents = ResNetTrunk(
+                backbone=self.backbone,
+                num_stages=self.num_layers - 1,
+                use_first_pool=self.use_first_pool,
+                norm_type=self.norm_type,
+                dtype=self.dtype,
+                name="model",
+            )(x, train=train)
+            align = None if self.index_interp == "nearest " else True
+            target_hw = latents[0].shape[1:3]
+            ups = [
+                resize_bilinear(l, target_hw, align_corners=bool(align))
+                for l in latents
+            ]
+            latent = jnp.concatenate(ups, axis=-1)
+        return latent, latent_scaling_for(latent.shape[1:3])
+
+    @classmethod
+    def from_conf(cls, conf, **kwargs) -> "SpatialEncoder":
+        return cls(
+            backbone=conf.get_string("backbone"),
+            pretrained=conf.get_bool("pretrained", True),
+            num_layers=conf.get_int("num_layers", 4),
+            index_interp=conf.get_string("index_interp", "bilinear"),
+            index_padding=conf.get_string("index_padding", "border"),
+            upsample_interp=conf.get_string("upsample_interp", "bilinear"),
+            feature_scale=conf.get_float("feature_scale", 1.0),
+            use_first_pool=conf.get_bool("use_first_pool", True),
+            **kwargs,
+        )
+
+
+class ImageEncoder(nn.Module):
+    """Global image encoder: full trunk + average pool (+ projection).
+
+    Reference: src/model/encoder.py:180-241.
+    """
+
+    backbone: str = "resnet34"
+    pretrained: bool = True
+    latent_size: int = 128
+    norm_type: str = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """:param x (B, H, W, 3) -> (B, latent_size)"""
+        latents = ResNetTrunk(
+            backbone=self.backbone, num_stages=4, use_first_pool=True,
+            norm_type=self.norm_type, dtype=self.dtype, name="model",
+        )(x, train=train)
+        x = jnp.mean(latents[-1], axis=(1, 2))  # global average pool
+        if self.latent_size != 512:
+            x = nn.Dense(self.latent_size, dtype=self.dtype, name="fc")(x)
+        return x
+
+    @classmethod
+    def from_conf(cls, conf, **kwargs) -> "ImageEncoder":
+        return cls(
+            backbone=conf.get_string("backbone"),
+            pretrained=conf.get_bool("pretrained", True),
+            latent_size=conf.get_int("latent_size", 128),
+            **kwargs,
+        )
+
+
+class ConvEncoder(nn.Module):
+    """Experimental UNet-ish conv encoder (reference custom_encoder.py:7-94).
+
+    Down path: 7x7/2 stem + 3 stride-2 convs; a 4x4/4 'mid' conv is
+    flattened to a global code and broadcast back; up path: stride-2
+    transposed convs with skip concat. SAME-style padding; group norm;
+    leaky relu.
+    """
+
+    dim_in: int = 3
+    norm_type: str = "group"
+    use_leaky_relu: bool = True
+    use_skip_conn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        norm = _make_norm(self.norm_type, self.dtype, train)
+        act = nn.leaky_relu if self.use_leaky_relu else nn.relu
+        first, mid, last, n_down = 64, 128, 128, 3
+
+        def down(x, ch, k, s, name):
+            x = nn.Conv(
+                ch, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+                kernel_init=_conv_init, dtype=self.dtype, name=name,
+            )(x)
+            if norm:
+                x = norm(name + "_norm")(x)
+            return act(x)
+
+        x = down(x, first, 7, 2, "conv_in")
+        inters = []
+        ch = first
+        for i in range(n_down):
+            x = down(x, 2 * ch, 3, 2, f"conv{i}")
+            inters.append(x)
+            ch *= 2
+
+        x = down(x, mid, 4, 4, "conv_mid")
+        x = x.reshape(x.shape[0], -1)  # global code
+        x = jnp.broadcast_to(
+            x[:, None, None, :],
+            (x.shape[0],) + inters[-1].shape[1:3] + (x.shape[-1],),
+        )
+
+        ch = first * (2 ** (n_down - 1))
+        for i in reversed(range(n_down)):
+            if self.use_skip_conn:
+                x = jnp.concatenate([x, inters[i]], axis=-1)
+            target_hw = inters[i - 1].shape[1:3] if i > 0 else (
+                inters[0].shape[1] * 2, inters[0].shape[2] * 2,
+            )
+            x = nn.ConvTranspose(
+                ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                kernel_init=_conv_init, dtype=self.dtype, name=f"deconv{i}",
+            )(x)
+            x = x[:, : target_hw[0], : target_hw[1]]
+            if norm:
+                x = norm(f"deconv{i}_norm")(x)
+            x = act(x)
+            ch //= 2
+
+        x = nn.ConvTranspose(
+            128, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype,
+            name="deconv_last",
+        )(x)
+        return x
