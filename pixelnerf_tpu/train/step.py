@@ -1,0 +1,288 @@
+"""Jitted training/eval step: device-side ray sampling, render, loss, Adam.
+
+TPU-native re-design of the reference's per-batch work
+(reference: train/train.py:182-292 `calc_losses` + trainlib/trainer.py:49,
+245-250): where the reference builds rays in a host-side Python loop over
+the object batch and scatters them over GPUs via DataParallel, here the
+*entire* step — pixel sampling, ray generation, encoding, rendering, loss,
+backward, optimizer — is one XLA program. Scale-out is SPMD sharding of
+the object (SB) and ray (R) axes over a device mesh (see
+pixelnerf_tpu.parallel).
+
+Batch contract (all device arrays):
+    images (SB, NV, H, W, 3) in [-1, 1]
+    poses  (SB, NV, 4, 4) camera-to-world
+    focal  (SB, 2)   (fx, fy; positive — encode() flips fy)
+    c      (SB, 2)   principal point
+    bbox   (SB, NV, 4) [x0, y0, x1, y1] or None
+    src_images (SB, NS, H, W, 3), src_poses (SB, NS, 4, 4)
+        — source views pre-gathered host-side (view selection is a
+          data-dependent gather; reference train.py:203-221)
+    z_near, z_far: python floats (static per dataset)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pixelnerf_tpu.render.renderer import RendererConfig, render_rays
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "sample_rays"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def sample_rays(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    poses: jnp.ndarray,
+    focal: jnp.ndarray,
+    c: jnp.ndarray,
+    z_near: float,
+    z_far: float,
+    num_rays: int,
+    bbox: Optional[jnp.ndarray] = None,
+    lindisp_bounds: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample target pixels across all views and build their rays, on device.
+
+    Replaces the reference's host loop (train.py:204-246): instead of
+    generating the full (NV, H, W, 8) ray tensor and gathering 128 of them,
+    the ray for each sampled pixel is computed directly —
+    O(SB * R) work instead of O(SB * NV * H * W).
+
+    :param images (SB, NV, H, W, 3) in [-1, 1]
+    :param bbox (SB, NV, 4) [x0, y0, x1, y1]; None = uniform over all pixels
+    :return (rays (SB, R, 8), rgb_gt (SB, R, 3) in [0, 1])
+    """
+    SB, NV, H, W, _ = images.shape
+
+    k_view, k_x, k_y = jax.random.split(rng, 3)
+    if bbox is not None:
+        # bbox sampling (util.py:220-235): uniform within the per-view box
+        vid = jax.random.randint(k_view, (SB, num_rays), 0, NV)
+        boxes = jnp.take_along_axis(
+            bbox, vid[..., None], axis=1
+        ).astype(jnp.float32)  # (SB, R, 4)
+        x = (
+            jax.random.uniform(k_x, (SB, num_rays))
+            * (boxes[..., 2] + 1 - boxes[..., 0])
+            + boxes[..., 0]
+        ).astype(jnp.int32)
+        y = (
+            jax.random.uniform(k_y, (SB, num_rays))
+            * (boxes[..., 3] + 1 - boxes[..., 1])
+            + boxes[..., 1]
+        ).astype(jnp.int32)
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
+    else:
+        # uniform over NV*H*W (train.py:236)
+        pix = jax.random.randint(k_view, (SB, num_rays), 0, NV * H * W)
+        vid = pix // (H * W)
+        rem = pix % (H * W)
+        y = rem // W
+        x = rem % W
+
+    # gather gt color: images[b, vid, y, x] -> [0,1]
+    flat = images.reshape(SB, NV * H * W, 3)
+    idx = vid * (H * W) + y * W + x
+    rgb_gt = jnp.take_along_axis(flat, idx[..., None], axis=1) * 0.5 + 0.5
+
+    # per-pixel camera ray (util.py:113-143 analytically at the pixel)
+    fx = focal[:, None, 0]
+    fy = focal[:, None, 1]
+    cx = c[:, None, 0]
+    cy = c[:, None, 1]
+    dx = (x.astype(jnp.float32) - cx) / fx
+    dy = -(y.astype(jnp.float32) - cy) / fy
+    dz = -jnp.ones_like(dx)
+    d_cam = jnp.stack([dx, dy, dz], axis=-1)
+    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+
+    pose_sel = jnp.take_along_axis(
+        poses, vid[..., None, None], axis=1
+    )  # (SB, R, 4, 4)
+    origins = pose_sel[..., :3, 3]
+    dirs = jnp.einsum("brij,brj->bri", pose_sel[..., :3, :3], d_cam)
+
+    if lindisp_bounds is not None:
+        near = jnp.broadcast_to(lindisp_bounds[:, None, 0:1], (SB, num_rays, 1))
+        far = jnp.broadcast_to(lindisp_bounds[:, None, 1:2], (SB, num_rays, 1))
+    else:
+        near = jnp.full((SB, num_rays, 1), z_near, dtype=jnp.float32)
+        far = jnp.full((SB, num_rays, 1), z_far, dtype=jnp.float32)
+    rays = jnp.concatenate([origins, dirs, near, far], axis=-1)
+    return rays, rgb_gt
+
+
+def make_train_step(
+    model,
+    rcfg: RendererConfig,
+    tx: optax.GradientTransformation,
+    num_rays: int,
+    z_near: float,
+    z_far: float,
+    lambda_coarse: float = 1.0,
+    lambda_fine: float = 1.0,
+    rgb_loss_fn: Callable = None,
+    rgb_fine_loss_fn: Callable = None,
+    use_bbox: bool = False,
+    ray_spec=None,
+    remat: bool = True,
+) -> Callable:
+    """Build the jittable train step.
+
+    Loss = lambda_coarse * rgb_loss(coarse) + lambda_fine * rgb_loss(fine)
+    (reference train.py:271-283).
+
+    :param ray_spec optional jax.sharding.PartitionSpec (e.g. P('data','rays'))
+        applied to the generated ray tensor so the field evaluation shards
+        over the rays mesh axis (requires an active mesh context / jit with
+        NamedSharding inputs).
+    """
+    if rgb_loss_fn is None:
+        rgb_loss_fn = lambda p, t: jnp.mean((p - t) ** 2)
+    if rgb_fine_loss_fn is None:
+        rgb_fine_loss_fn = rgb_loss_fn
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        k_pix, k_render = jax.random.split(rng)
+        rays, rgb_gt = sample_rays(
+            k_pix,
+            batch["images"],
+            batch["poses"],
+            batch["focal"],
+            batch["c"],
+            z_near,
+            z_far,
+            num_rays,
+            bbox=batch.get("bbox") if use_bbox else None,
+            lindisp_bounds=batch.get("z_bounds"),
+        )
+        if ray_spec is not None:
+            rays = jax.lax.with_sharding_constraint(rays, ray_spec)
+            rgb_gt = jax.lax.with_sharding_constraint(rgb_gt, ray_spec)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            enc, mutated = model.apply(
+                variables,
+                batch["src_images"],
+                batch["src_poses"],
+                batch["focal"],
+                batch.get("src_c", batch["c"]),
+                True,  # train
+                method="encode",
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+            qvars = {"params": params, "batch_stats": new_stats}
+
+            def query_fn(xyz, viewdirs, coarse):
+                return model.apply(qvars, enc, xyz, viewdirs, coarse, method="query")
+
+            if remat:
+                # Rematerialize the field evaluation in the backward pass:
+                # without this the coarse+fine MLP activations
+                # (rays x samples x d_hidden per layer) must all stay live
+                # for backward and blow out HBM at production ray batches
+                # (SURVEY.md §7 'hard parts'). Recomputing trades ~1 extra
+                # forward of MXU FLOPs for O(K * d_hidden) activation memory.
+                query_fn = jax.checkpoint(query_fn, static_argnums=(2,))
+
+            out = render_rays(
+                query_fn, rays, k_render, rcfg,
+                want_weights=False,
+                use_viewdirs=model.use_viewdirs,
+                train=True,
+            )
+            loss_c = rgb_loss_fn(out["coarse"]["rgb"], rgb_gt)
+            loss = lambda_coarse * loss_c
+            aux = {"rc": lambda_coarse * loss_c}
+            if "fine" in out:
+                loss_f = rgb_fine_loss_fn(out["fine"]["rgb"], rgb_gt)
+                loss = loss + lambda_fine * loss_f
+                aux["rf"] = lambda_fine * loss_f
+            aux["t"] = loss
+            return loss, (aux, new_stats)
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    rcfg: RendererConfig,
+    num_rays: int,
+    z_near: float,
+    z_far: float,
+    lambda_coarse: float = 1.0,
+    lambda_fine: float = 1.0,
+) -> Callable:
+    """Loss-only step on held-out data (reference eval_step train.py:288-292)."""
+
+    def eval_step(state: TrainState, batch, rng: jax.Array):
+        k_pix, k_render = jax.random.split(rng)
+        rays, rgb_gt = sample_rays(
+            k_pix, batch["images"], batch["poses"], batch["focal"], batch["c"],
+            z_near, z_far, num_rays, lindisp_bounds=batch.get("z_bounds"),
+        )
+        variables = state.variables()
+        enc = model.apply(
+            variables, batch["src_images"], batch["src_poses"], batch["focal"],
+            batch.get("src_c", batch["c"]), False, method="encode",
+        )
+
+        def query_fn(xyz, viewdirs, coarse):
+            return model.apply(variables, enc, xyz, viewdirs, coarse, method="query")
+
+        out = render_rays(
+            query_fn, rays, k_render, rcfg, use_viewdirs=model.use_viewdirs,
+        )
+        aux = {"rc": lambda_coarse * jnp.mean((out["coarse"]["rgb"] - rgb_gt) ** 2)}
+        total = aux["rc"]
+        if "fine" in out:
+            aux["rf"] = lambda_fine * jnp.mean((out["fine"]["rgb"] - rgb_gt) ** 2)
+            total = total + aux["rf"]
+        aux["t"] = total
+        return aux
+
+    return eval_step

@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in prev:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides JAX_PLATFORMS at registration; the config
+# update after import is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
