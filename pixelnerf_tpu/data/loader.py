@@ -1,0 +1,158 @@
+"""Host-side batch loader: collation, shuffling, source-view selection.
+
+Replaces the reference's torch DataLoader (trainlib/trainer.py:17-30,
+num_workers=0) with a simple shuffled batcher plus an optional background
+prefetch thread (the reference has no worker processes either; on TPU the
+bottleneck is device compute, and prefetching one batch ahead hides host
+image decode).
+
+`make_step_batch` implements the reference's per-batch source-view
+selection (train/train.py:203-221): a global NS drawn from `nviews` per
+batch, per-object random view indices without replacement, and produces the
+train-step batch contract of pixelnerf_tpu.train.step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["BatchLoader", "collate", "make_step_batch"]
+
+
+def collate(items: List[dict]) -> Dict[str, np.ndarray]:
+    """Stack per-object dicts into batch arrays (keys present in all items)."""
+    items = [it for it in items if it]
+    keys = set(items[0])
+    for it in items[1:]:
+        keys &= set(it)
+    out: Dict[str, np.ndarray] = {}
+    for k in keys:
+        v0 = items[0][k]
+        if isinstance(v0, np.ndarray) or np.isscalar(v0) or isinstance(v0, (int, float)):
+            out[k] = np.stack([np.asarray(it[k]) for it in items])
+        else:
+            out[k] = [it[k] for it in items]  # e.g. paths
+    return out
+
+
+class BatchLoader:
+    """Shuffled batching iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def _load(self, batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self.dataset[int(i)] for i in batch_idx])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        if not self.prefetch:
+            for b in batches:
+                yield self._load(b)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._load(b))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def make_step_batch(
+    data: Dict[str, np.ndarray],
+    rng: np.random.Generator,
+    nviews: Sequence[int],
+    use_bbox: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Build the train-step batch: pick NS source views per object.
+
+    Reference train.py:203-221: one NS drawn per batch from `nviews`; with
+    NS == 1 a single randint per object, else choice without replacement.
+    """
+    images = data["images"]  # (SB, NV, H, W, 3)
+    SB, NV = images.shape[:2]
+    curr_nviews = int(nviews[rng.integers(0, len(nviews))])
+    if curr_nviews == 1:
+        image_ord = rng.integers(0, NV, (SB, 1))
+    else:
+        image_ord = np.stack(
+            [rng.choice(NV, curr_nviews, replace=False) for _ in range(SB)]
+        )
+
+    take = lambda arr: np.stack(
+        [arr[b][image_ord[b]] for b in range(SB)]
+    )
+    src_images = take(images)
+    src_poses = take(data["poses"])
+
+    focal = np.asarray(data["focal"], dtype=np.float32)
+    if focal.ndim == 1:
+        focal = np.stack([focal, focal], axis=-1)  # (SB, 2)
+    H, W = images.shape[2:4]
+    if "c" in data:
+        c = np.asarray(data["c"], dtype=np.float32)
+        if c.ndim == 1:
+            c = np.stack([c, c], axis=-1)
+    else:
+        c = np.tile(
+            np.array([[W * 0.5, H * 0.5]], dtype=np.float32), (SB, 1)
+        )
+
+    batch = {
+        "images": images.astype(np.float32),
+        "poses": data["poses"].astype(np.float32),
+        "focal": focal,
+        "c": c,
+        "src_images": src_images.astype(np.float32),
+        "src_poses": src_poses.astype(np.float32),
+    }
+    if use_bbox and "bbox" in data:
+        batch["bbox"] = data["bbox"].astype(np.float32)
+    return batch

@@ -167,6 +167,8 @@ class PixelNeRFNet(nn.Module):
         SB, B, _ = xyz.shape
         NS = enc.num_views
 
+        # named scopes mirror the reference's profiler ranges
+        # (models.py:156, encoder.py:90, resnetfc.py:139) for xprof traces
         xyz_rep = repeat_interleave(xyz, NS)  # (SB*NS, B, 3)
         rot = enc.poses[:, :3, :3]
         xyz_rot = jnp.einsum("nij,nbj->nbi", rot, xyz_rep)
@@ -206,11 +208,12 @@ class PixelNeRFNet(nn.Module):
                 cc = repeat_interleave(cc, NS)
             uv = uv * focal[:, None, :] + cc[:, None, :]
 
-            latent = index_features(
-                enc.latent, enc.latent_scaling, uv, enc.image_size,
-                index_interp=self.encoder.index_interp,
-                index_padding=self.encoder.index_padding,
-            )  # (SB*NS, B, C)
+            with jax.named_scope("encoder_index"):
+                latent = index_features(
+                    enc.latent, enc.latent_scaling, uv, enc.image_size,
+                    index_interp=self.encoder.index_interp,
+                    index_padding=self.encoder.index_padding,
+                )  # (SB*NS, B, C)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
             latent = latent.reshape(-1, self.encoder.latent_size)
@@ -227,7 +230,8 @@ class PixelNeRFNet(nn.Module):
             mlp_input = jnp.concatenate([gl, mlp_input], axis=-1)
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
-        mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
+        with jax.named_scope("resnetfc_infer"):
+            mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
         mlp_output = mlp_output.reshape(-1, B, self.d_out).astype(jnp.float32)
 
         rgb = jax.nn.sigmoid(mlp_output[..., :3])

@@ -1,0 +1,165 @@
+"""End-to-end CLI pipeline tests on synthetic fixtures (tiny model, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_srn_dataset
+
+TINY_CONF = """
+model {
+    use_encoder = True
+    use_xyz = True
+    use_code = True
+    code { num_freqs = 2
+           freq_factor = 1.5
+           include_input = True }
+    use_viewdirs = True
+    use_code_viewdirs = False
+    mlp_coarse { type = resnet
+                 n_blocks = 2
+                 d_hidden = 16
+                 combine_layer = 1
+                 combine_type = average }
+    mlp_fine { type = resnet
+               n_blocks = 2
+               d_hidden = 16
+               combine_layer = 1
+               combine_type = average }
+    encoder { backbone = resnet18
+              pretrained = False
+              num_layers = 2 }
+}
+renderer {
+    n_coarse = 8
+    n_fine = 4
+    n_fine_depth = 2
+    white_bkgd = True
+    sched = []
+}
+loss {
+    rgb { use_l1 = False }
+    rgb_fine { use_l1 = False }
+    lambda_coarse = 1.0
+    lambda_fine = 1.0
+}
+train {
+    print_interval = 1
+    save_interval = 2
+    vis_interval = 2
+    eval_interval = 2
+    accu_grad = 1
+    num_epoch_repeats = 1
+}
+data { format = srn }
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    datadir = make_srn_dataset(str(root), name="balls", n_objs=2, nv=4, H=16)
+    conf_path = root / "tiny.conf"
+    conf_path.write_text(TINY_CONF)
+    return {"root": str(root), "datadir": datadir, "conf": str(conf_path)}
+
+
+def _common_args(ws, name):
+    return [
+        "-c", ws["conf"], "-D", ws["datadir"], "-n", name,
+        "--logs_path", os.path.join(ws["root"], "logs"),
+        "--checkpoints_path", os.path.join(ws["root"], "ckpt"),
+        "--visual_path", os.path.join(ws["root"], "vis"),
+    ]
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(workspace):
+    from pixelnerf_tpu.train.train_pixelnerf import main
+
+    main(
+        _common_args(workspace, "t1")
+        + ["-V", "2", "-B", "2", "-R", "16", "--epochs", "2", "--vis_chunk", "256"]
+    )
+    ckpt_dir = os.path.join(workspace["root"], "ckpt", "t1")
+    assert os.path.exists(os.path.join(ckpt_dir, "pixel_nerf_latest"))
+    assert os.path.exists(os.path.join(ckpt_dir, "_optim"))
+    meta = json.load(open(os.path.join(ckpt_dir, "_iter.json")))
+    assert meta["iter"] >= 1
+    vis_dir = os.path.join(workspace["root"], "vis", "t1")
+    assert any(f.endswith("_vis.png") for f in os.listdir(vis_dir))
+
+
+@pytest.mark.slow
+def test_train_cli_resume(workspace):
+    from pixelnerf_tpu.train.train_pixelnerf import main
+
+    # must run after test_train_cli_end_to_end created the checkpoint
+    main(
+        _common_args(workspace, "t1")
+        + ["-V", "2", "-B", "2", "-R", "16", "--epochs", "3", "--resume",
+           "--vis_chunk", "256"]
+    )
+    meta = json.load(
+        open(os.path.join(workspace["root"], "ckpt", "t1", "_iter.json"))
+    )
+    assert meta["iter"] >= 2
+
+
+@pytest.mark.slow
+def test_gen_video_cli(workspace):
+    from pixelnerf_tpu.eval.gen_video import main
+
+    main(
+        _common_args(workspace, "t1")
+        + ["--split", "test", "-S", "0", "-P", "0 1", "--num_views", "4",
+           "-R", "512", "--fps", "4"]
+    )
+    vis_dir = os.path.join(workspace["root"], "vis", "t1")
+    vids = [f for f in os.listdir(vis_dir) if f.startswith("video_test")]
+    assert any(f.endswith((".mp4", ".gif")) for f in vids)
+    assert any(f.endswith("_view.jpg") for f in vids)
+
+
+@pytest.mark.slow
+def test_eval_mesh_cli(workspace):
+    from pixelnerf_tpu.eval.eval_mesh import main
+
+    out_dir = os.path.join(workspace["root"], "eval_out")
+    main(
+        _common_args(workspace, "t1")
+        + ["--split", "test", "-P", "0", "--mode", "both", "--mesh_reso", "24",
+           "--mesh_thresh", "5.0", "--limit", "1", "-R", "512",
+           "--output", out_dir]
+    )
+    obj_out = os.path.join(out_dir, "t1")
+    assert os.path.exists(os.path.join(obj_out, "finish.txt"))
+    stls = [f for f in os.listdir(obj_out) if f.endswith(".stl")]
+    assert len(stls) == 1
+    # nvs wrote rendered views for calc_metrics
+    subdirs = [
+        d for d in os.listdir(obj_out)
+        if os.path.isdir(os.path.join(obj_out, d))
+    ]
+    assert len(subdirs) == 1
+    pngs = os.listdir(os.path.join(obj_out, subdirs[0]))
+    assert len(pngs) == 3  # 4 views - 1 source
+
+
+@pytest.mark.slow
+def test_calc_metrics_cli(workspace):
+    from pixelnerf_tpu.eval.calc_metrics import main
+
+    out_dir = os.path.join(workspace["root"], "eval_out", "t1")
+    gt_root = os.path.join(workspace["datadir"], "balls_test")
+    main(
+        [
+            "-D", gt_root, "-O", out_dir, "-F", "srn", "--overwrite",
+        ]
+    )
+    all_metrics = os.path.join(out_dir, "all_metrics.txt")
+    assert os.path.exists(all_metrics)
+    text = open(all_metrics).read()
+    assert "total psnr" in text

