@@ -33,7 +33,7 @@ NS = 2
 H = W = 128
 RAYS_PER_OBJ = 1024
 WARMUP = 2
-ITERS = 8
+ITERS = 4
 
 
 def main() -> None:
@@ -76,15 +76,18 @@ def main() -> None:
         )
     )
 
-    # warmup/compile
+    # warmup/compile. NOTE: execution must be forced with a host fetch —
+    # on the axon remote backend block_until_ready alone does not guarantee
+    # the computation ran (lazy dispatch), which silently yields
+    # dispatch-only timings.
     for i in range(WARMUP):
         state, aux = train_step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(state)
+        _ = float(aux["t"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, aux = train_step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state)
+        _ = float(aux["t"])  # force execution of the full chained step
     dt = time.perf_counter() - t0
 
     total_rays = SB * RAYS_PER_OBJ * ITERS

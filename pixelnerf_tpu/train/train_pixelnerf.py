@@ -48,6 +48,11 @@ def extra_args(parser):
         "--vis_chunk", type=int, default=16384,
         help="Ray chunk for full-image visualization renders",
     )
+    parser.add_argument(
+        "--warmup_epochs", type=int, default=0,
+        help="Freeze the encoder for the first N epochs, then unfreeze "
+        "(the reference's finetune_resnet.py staged warmup)",
+    )
     return parser
 
 
@@ -96,6 +101,11 @@ def main(argv=None):
     model = make_model(conf["model"], stop_encoder_grad=bool(args.freeze_enc))
     if args.freeze_enc:
         print("Encoder frozen")
+    # warmup variant: encoder gradients stopped until warmup_steps
+    # (reference train/finetune_resnet.py:89-157)
+    model_frozen = (
+        model.clone(stop_encoder_grad=True) if args.warmup_epochs > 0 else None
+    )
 
     rcfg0 = RendererConfig.from_conf(conf["renderer"], lindisp=dset.lindisp)
 
@@ -166,11 +176,12 @@ def main(argv=None):
 
     step_cache: Dict = {}
 
-    def get_steps(rcfg: RendererConfig, use_bbox: bool):
-        cache_key = (rcfg.n_coarse, rcfg.n_fine, use_bbox)
+    def get_steps(rcfg: RendererConfig, use_bbox: bool, frozen: bool = False):
+        cache_key = (rcfg.n_coarse, rcfg.n_fine, use_bbox, frozen)
+        step_model = model_frozen if frozen else model
         if cache_key not in step_cache:
             t_step = make_train_step(
-                model, rcfg, tx, num_rays=args.ray_batch_size,
+                step_model, rcfg, tx, num_rays=args.ray_batch_size,
                 z_near=dset.z_near, z_far=dset.z_far,
                 lambda_coarse=lambda_coarse, lambda_fine=lambda_fine,
                 rgb_loss_fn=rgb_loss, rgb_fine_loss_fn=rgb_fine_loss,
@@ -210,6 +221,12 @@ def main(argv=None):
                 args.checkpoints_path, args.name, "_renderer.json"
             )
             self.rcfg = rcfg0
+            self.warmup_steps = args.warmup_epochs * steps_per_epoch
+            if self.warmup_steps:
+                print(
+                    f"Encoder frozen for {self.warmup_steps} steps "
+                    f"({args.warmup_epochs} epochs)"
+                )
             if args.resume and os.path.exists(self.renderer_state_path):
                 pass  # rcfg derived from iteration, nothing stateful to load
 
@@ -231,7 +248,10 @@ def main(argv=None):
             if "images" not in data:
                 return {}
             rcfg = rcfg0.at_iteration(global_step)
-            t_step, _ = get_steps(rcfg, self.use_bbox and "bbox" in data)
+            frozen = bool(self.warmup_steps) and global_step < self.warmup_steps
+            if self.warmup_steps and global_step == self.warmup_steps:
+                print("Warmup complete: unfreezing encoder")
+            t_step, _ = get_steps(rcfg, self.use_bbox and "bbox" in data, frozen)
             batch = self._device_batch(data, global_step, train=True)
             self.state, aux = t_step(self.state, batch, self._next_key())
             return {k: float(v) for k, v in aux.items()}

@@ -50,6 +50,9 @@ def look_at(origin, target, world_up=None) -> np.ndarray:
         world_up = np.array([0, 1, 0], dtype=np.float32)
     back = origin - target
     back = back / np.linalg.norm(back)
+    if abs(float(np.dot(world_up, back))) > 1.0 - 1e-6:
+        # camera directly above/below target: fall back to z-up
+        world_up = np.array([0, 0, 1], dtype=np.float32)
     right = np.cross(world_up, back)
     right = right / np.linalg.norm(right)
     up = np.cross(back, right)
