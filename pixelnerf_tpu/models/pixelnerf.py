@@ -216,7 +216,7 @@ class PixelNeRFNet(nn.Module):
                 )  # (SB*NS, B, C)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
-            latent = latent.reshape(-1, self.encoder.latent_size)
+            latent = latent.reshape(-1, enc.latent.shape[-1])
 
             if self.d_in == 0:
                 mlp_input = latent
