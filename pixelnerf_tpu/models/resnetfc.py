@@ -16,9 +16,10 @@ zero-init on each block's second linear (resnetfc.py:36-51).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pixelnerf_tpu.utils.rays import combine_interleaved
@@ -27,6 +28,40 @@ __all__ = ["ResnetFC", "ResnetBlockFC"]
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _zeros = nn.initializers.zeros
+
+
+class _LinParams(nn.Module):
+    """Creates nn.Dense-compatible params (kernel/bias) without running the
+    matmul — used by the fused-Pallas path so its parameter tree is
+    bit-identical (names, shapes, init) to the per-layer Flax path and
+    checkpoints are interchangeable between the two."""
+
+    size_in: int
+    features: int
+    kernel_init: Any = _kaiming
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, (self.size_in, self.features))
+        b = (
+            self.param("bias", _zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _BlockParams(nn.Module):
+    """ResnetBlockFC-compatible param factory (fc_0 kaiming, fc_1 zero)."""
+
+    size: int
+
+    @nn.compact
+    def __call__(self):
+        k0, b0 = _LinParams(self.size, self.size, name="fc_0")()
+        k1, b1 = _LinParams(self.size, self.size, kernel_init=_zeros, name="fc_1")()
+        return k0, b0, k1, b1
 
 
 def _activation(beta: float):
@@ -96,6 +131,27 @@ class ResnetFC(nn.Module):
     combine_type: str = "average"
     use_spade: bool = False
     dtype: jnp.dtype = jnp.float32
+    # "auto": fused Pallas megakernel on TPU when the config supports it;
+    # True: force (interpret mode off-TPU, for tests); False: per-layer Flax.
+    use_pallas: Any = "auto"
+
+    def _pallas_ok(self, zx, combine_inner_dims) -> bool:
+        from pixelnerf_tpu.ops.resnetfc_pallas import supported_config
+
+        if self.use_pallas is False:
+            return False
+        if not supported_config(
+            self.beta, self.use_spade, self.combine_type, self.d_latent, self.d_in
+        ):
+            return False
+        if zx.ndim != 2 or len(combine_inner_dims) != 2:
+            return False
+        ns = combine_inner_dims[0]
+        if ns > 1 and self.combine_layer >= self.n_blocks:
+            return False
+        if self.use_pallas == "auto":
+            return jax.default_backend() == "tpu"
+        return True
 
     @nn.compact
     def __call__(
@@ -108,6 +164,8 @@ class ResnetFC(nn.Module):
         :return (..., d_out) (leading dim shrinks by NS at combine_layer)
         """
         assert zx.shape[-1] == self.d_latent + self.d_in
+        if self._pallas_ok(zx, combine_inner_dims):
+            return self._call_pallas(zx, combine_inner_dims)
         act = _activation(self.beta)
 
         if self.d_latent > 0:
@@ -150,6 +208,59 @@ class ResnetFC(nn.Module):
             name="lin_out",
         )(act(x))
         return out
+
+    def _call_pallas(self, zx: jnp.ndarray, combine_inner_dims) -> jnp.ndarray:
+        """Fused-megakernel path (ops/resnetfc_pallas.py). Parameter tree is
+        identical to the per-layer path via the _LinParams/_BlockParams
+        factories, so the two paths share checkpoints."""
+        from pixelnerf_tpu.ops.resnetfc_pallas import (
+            ResnetFCWeights, resnetfc_fused,
+        )
+
+        ns, b = combine_inner_dims
+        m = zx.shape[0]
+        assert m % (ns * b) == 0, (m, ns, b)
+        sb = m // (ns * b)
+        n_inj = min(self.combine_layer, self.n_blocks)
+
+        k_in, b_in = _LinParams(self.d_in, self.d_hidden, name="lin_in")()
+        wz, bz = [], []
+        for i in range(n_inj):
+            kz, bz_i = _LinParams(self.d_latent, self.d_hidden, name=f"lin_z_{i}")()
+            wz.append(kz)
+            bz.append(bz_i)
+        w0, b0, w1, b1 = [], [], [], []
+        for i in range(self.n_blocks):
+            k0, b0_i, k1, b1_i = _BlockParams(self.d_hidden, name=f"block_{i}")()
+            w0.append(k0)
+            b0.append(b0_i)
+            w1.append(k1)
+            b1.append(b1_i)
+        k_out, b_out = _LinParams(self.d_hidden, self.d_out, name="lin_out")()
+
+        weights = ResnetFCWeights(
+            w_in=k_in,
+            b_in=b_in[None, :],
+            wz=jnp.stack(wz),
+            bz=jnp.stack(bz),
+            w0=jnp.stack(w0),
+            b0=jnp.stack(b0),
+            w1=jnp.stack(w1),
+            b1=jnp.stack(b1),
+            w_out=k_out,
+            b_out=b_out[None, :],
+        )
+        interpret = jax.default_backend() != "tpu"
+        out = resnetfc_fused(
+            zx.astype(jnp.float32).reshape(sb, ns, b, -1),
+            weights,
+            self.n_blocks,
+            self.combine_layer,
+            ns,
+            self.d_latent,
+            interpret,
+        )
+        return out.reshape(sb * b, self.d_out)
 
     @classmethod
     def from_conf(cls, conf, d_in: int, **kwargs) -> "ResnetFC":

@@ -21,9 +21,9 @@ Layout note: unlike torch (NCHW), features are NHWC — channels-last is the
 native TPU layout; the C axis lands on the 128-wide lane dimension so the
 4 corner gathers and the lerp vectorize over the VPU. The gather itself
 lowers to an XLA gather (and its VJP to scatter-add) which XLA fuses with
-the surrounding lerp arithmetic; a Pallas double-buffered variant lives in
-`pixelnerf_tpu.ops.gather_pallas` for the case where the feature map
-resides in HBM.
+the surrounding lerp arithmetic. (The other hot op — the conditioned MLP
+the gathered features feed — is a fused Pallas megakernel, see
+`pixelnerf_tpu.ops.resnetfc_pallas`.)
 """
 
 from __future__ import annotations

@@ -1,0 +1,421 @@
+"""Fused Pallas megakernel for the latent-conditioned ResnetFC MLP.
+
+This is the TPU-native "hot op" replacing the reference's per-layer
+`nn.Linear` chain over the rays x samples point batch
+(reference: src/model/resnetfc.py:146-183). Instead of letting XLA emit
+one HBM-round-trip matmul per layer (the (M, 512) activations dominate
+HBM traffic at production ray batches — each of the ~12 matmuls in the
+5-block network reads and writes the full activation tensor), the whole
+network runs as ONE Pallas kernel per point tile:
+
+* the point batch (SB, NS, B, D) is tiled over a (SB, B/TB) grid; each
+  grid cell loads one (NS, TB, D) tile of inputs into VMEM and keeps the
+  residual stream in VMEM/registers through every block — HBM sees only
+  the input tile and the (TB, 4) output;
+* all weights live in VMEM as bf16 (~7 MB for the 5-block 512-wide
+  multiview config); matmuls hit the MXU in bf16 with f32 accumulation,
+  the residual stream stays f32;
+* the per-block latent injection (x += z @ Wz + bz) and the multi-view
+  average pooling at `combine_layer` (reference resnetfc.py:170-172,
+  util.py:461-471) are fused into the same kernel — the pooling is a
+  reshape+mean inside VMEM, not a separate HBM pass;
+* the backward pass is a second Pallas kernel (custom VJP) that
+  REMATERIALIZES the forward per tile in VMEM (so no layer activations
+  are ever written to HBM for autodiff) and accumulates weight gradients
+  across grid cells in a VMEM-resident f32 block (TPU grid cells execute
+  sequentially, making the read-modify-write accumulation race-free).
+
+Supported configuration (falls back to the Flax path otherwise — see
+models/resnetfc.py): beta == 0 (ReLU), use_spade=False,
+combine_type='average', d_latent > 0, d_in > 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ResnetFCWeights", "resnetfc_fused", "supported_config"]
+
+
+class ResnetFCWeights(NamedTuple):
+    """Weight pytree for the fused kernel. Shapes (H = d_hidden):
+
+    w_in (d_in, H), b_in (1, H)
+    wz (n_inj, H, H), bz (n_inj, H)           latent injection, n_inj =
+                                              min(combine_layer, n_blocks)
+    w0 (n_blocks, H, H), b0 (n_blocks, H)     block fc_0
+    w1 (n_blocks, H, H), b1 (n_blocks, H)     block fc_1 (zero-init)
+    w_out (H, d_out), b_out (1, d_out)
+    """
+
+    w_in: jnp.ndarray
+    b_in: jnp.ndarray
+    wz: jnp.ndarray
+    bz: jnp.ndarray
+    w0: jnp.ndarray
+    b0: jnp.ndarray
+    w1: jnp.ndarray
+    b1: jnp.ndarray
+    w_out: jnp.ndarray
+    b_out: jnp.ndarray
+
+
+def supported_config(
+    beta: float, use_spade: bool, combine_type: str, d_latent: int, d_in: int
+) -> bool:
+    return (
+        beta == 0.0
+        and not use_spade
+        and combine_type == "average"
+        and d_latent > 0
+        and d_in > 0
+    )
+
+
+def _relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _dot(a, b):
+    """(M, K) @ (K, N) on the MXU, bf16 in / f32 out."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_t(a, b):
+    """a @ b.T without materializing the transpose: (M, N) x (K, N) -> (M, K)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_g(a, b):
+    """a.T @ b for weight grads: (M, K) x (M, N) -> (K, N)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_body(zx, w, *, n_blocks, combine_layer, ns, d_latent, keep_acts):
+    """Shared forward math. zx (NS*TB, D) f32. Returns (out, acts)."""
+    n_inj = min(combine_layer, n_blocks)
+    z = zx[:, :d_latent]
+    xin = zx[:, d_latent:]
+    x = _dot(xin, w.w_in) + w.b_in[0]
+    acts = {"block_in": [], "h1": []} if keep_acts else None
+    tb = zx.shape[0] // ns
+
+    for blk in range(n_blocks):
+        if blk == combine_layer and ns > 1:
+            x = jnp.mean(x.reshape(ns, tb, x.shape[-1]), axis=0)
+        if blk < n_inj:
+            x = x + _dot(z, w.wz[blk]) + w.bz[blk]
+        if keep_acts:
+            acts["block_in"].append(x)
+        h1 = _dot(_relu(x), w.w0[blk]) + w.b0[blk]
+        if keep_acts:
+            acts["h1"].append(h1)
+        x = x + _dot(_relu(h1), w.w1[blk]) + w.b1[blk]
+
+    if keep_acts:
+        acts["x_final"] = x
+        acts["z"] = z
+        acts["xin"] = xin
+    out = _dot(_relu(x), w.w_out) + w.b_out[0]
+    return out, acts
+
+
+def _fwd_kernel(
+    zx_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out, out_ref,
+    *, n_blocks, combine_layer, ns, d_latent,
+):
+    ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
+    zx = zx_ref[0].reshape(ns_ * tb, d)
+    w = ResnetFCWeights(
+        w_in[:], b_in[:], wz[:], bz[:], w0[:], b0[:], w1[:], b1[:],
+        w_out[:], b_out[:],
+    )
+    out, _ = _forward_body(
+        zx, w, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
+        d_latent=d_latent, keep_acts=False,
+    )
+    out_ref[0] = out
+
+
+def _bwd_kernel(
+    zx_ref, g_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out,
+    dzx_ref, dw_in, db_in, dwz, dbz, dw0, db0, dw1, db1, dw_out, db_out,
+    *, n_blocks, combine_layer, ns, d_latent,
+):
+    n_inj = min(combine_layer, n_blocks)
+    ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
+    zx = zx_ref[0].reshape(ns_ * tb, d)
+    w = ResnetFCWeights(
+        w_in[:], b_in[:], wz[:], bz[:], w0[:], b0[:], w1[:], b1[:],
+        w_out[:], b_out[:],
+    )
+
+    # Rematerialize forward, stashing block inputs + hidden pre-activations
+    # in VMEM (never HBM).
+    _, acts = _forward_body(
+        zx, w, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
+        d_latent=d_latent, keep_acts=True,
+    )
+    z = acts["z"]
+    g_out = g_ref[0]  # (TB, d_out) f32
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    def acc(ref, idx, val):
+        @pl.when(first)
+        def _():
+            ref[idx] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[idx] = ref[idx] + val
+
+    xf = acts["x_final"]
+    acc(db_out, 0, jnp.sum(g_out, axis=0))
+    acc(dw_out, slice(None), _dot_g(_relu(xf), g_out))
+    g_x = _dot_t(g_out, w.w_out) * (xf > 0.0)
+
+    g_z = jnp.zeros_like(z)
+    for blk in reversed(range(n_blocks)):
+        x_in = acts["block_in"][blk]
+        h1 = acts["h1"][blk]
+        acc(db1, blk, jnp.sum(g_x, axis=0))
+        acc(dw1, blk, _dot_g(_relu(h1), g_x))
+        g_h1 = _dot_t(g_x, w.w1[blk]) * (h1 > 0.0)
+        acc(db0, blk, jnp.sum(g_h1, axis=0))
+        acc(dw0, blk, _dot_g(_relu(x_in), g_h1))
+        g_x = g_x + _dot_t(g_h1, w.w0[blk]) * (x_in > 0.0)
+        if blk < n_inj:
+            acc(dbz, blk, jnp.sum(g_x, axis=0))
+            acc(dwz, blk, _dot_g(z, g_x))
+            g_z = g_z + _dot_t(g_x, w.wz[blk])
+        if blk == combine_layer and ns > 1:
+            # un-pool the multi-view average: broadcast / NS
+            g_x = jnp.broadcast_to(
+                g_x[None] / float(ns), (ns,) + g_x.shape
+            ).reshape(ns * tb, -1)
+
+    acc(db_in, 0, jnp.sum(g_x, axis=0))
+    acc(dw_in, slice(None), _dot_g(acts["xin"], g_x))
+    d_xin = _dot_t(g_x, w.w_in)
+    dzx_ref[0] = jnp.concatenate([g_z, d_xin], axis=-1).reshape(ns_, tb, d)
+
+
+def _pick_tile(b: int, ns: int) -> int:
+    """Point-tile size: big enough to fill the MXU, small enough for VMEM."""
+    for tb in (512, 256, 128, 64, 32, 16, 8):
+        if b % tb == 0 and ns * tb <= 1024:
+            return tb
+    return min(b, 8)
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        # forward: weights (~7 MB bf16) + residual stream; backward adds the
+        # f32 weight-grad accumulators (~14 MB) and the stashed tile acts.
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+)
+def resnetfc_fused(
+    zx: jnp.ndarray,
+    weights: ResnetFCWeights,
+    n_blocks: int,
+    combine_layer: int,
+    ns: int,
+    d_latent: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused ResnetFC on a flattened point batch.
+
+    :param zx (SB, NS, B, d_latent + d_in) f32 — latent first then code,
+        laid out so one tile holds all NS views of the same points (the
+        multi-view pooling is local to a tile)
+    :param weights ResnetFCWeights — f32; cast to bf16 on the way in
+    :return (SB, B, d_out) f32
+    """
+    out, _ = _fused_fwd_impl(
+        zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
+    )
+    return out
+
+
+def _cast_weights(w: ResnetFCWeights) -> ResnetFCWeights:
+    bf = lambda a: a.astype(jnp.bfloat16)
+    f32 = lambda a: a.astype(jnp.float32)
+    return ResnetFCWeights(
+        bf(w.w_in), f32(w.b_in), bf(w.wz), f32(w.bz), bf(w.w0), f32(w.b0),
+        bf(w.w1), f32(w.b1), bf(w.w_out), f32(w.b_out),
+    )
+
+
+def _weight_specs(w: ResnetFCWeights):
+    """Whole-array VMEM blocks, constant across the grid."""
+    specs = []
+    for arr in w:
+        nd = arr.ndim
+        specs.append(
+            pl.BlockSpec(
+                arr.shape,
+                (lambda s, b, _nd=nd: (0,) * _nd),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    return specs
+
+
+def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
+    sb, ns_, b, d = zx.shape
+    assert ns_ == ns
+    tb = _pick_tile(b, ns)
+    pad = (-b) % tb
+    if pad:
+        zx = jnp.pad(zx, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bp = b + pad
+    grid = (sb, bp // tb)
+    d_out = weights.w_out.shape[-1]
+
+    wcast = _cast_weights(weights)
+    kern = functools.partial(
+        _fwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
+        ns=ns, d_latent=d_latent,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + _weight_specs(wcast),
+        out_specs=pl.BlockSpec(
+            (1, tb, d_out), lambda s, bb: (s, bb, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((sb, bp, d_out), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(zx, *wcast)
+    if pad:
+        out = out[:, :b]
+    return out, (zx, weights, pad)
+
+
+def _fused_bwd_impl(
+    n_blocks, combine_layer, ns, d_latent, interpret, residuals, g
+):
+    zx_padded, weights, pad = residuals
+    sb, ns_, bp, d = zx_padded.shape
+    b = bp - pad
+    tb = _pick_tile(bp, ns)
+    grid = (sb, bp // tb)
+    d_out = weights.w_out.shape[-1]
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    g = g.astype(jnp.float32)
+
+    wcast = _cast_weights(weights)
+    n_inj = min(combine_layer, n_blocks)
+    h = weights.w0.shape[-1]
+    d_in = weights.w_in.shape[0]
+
+    kern = functools.partial(
+        _bwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
+        ns=ns, d_latent=d_latent,
+    )
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, (lambda s, bb, _nd=nd: (0,) * _nd), memory_space=pltpu.VMEM
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((sb, ns, bp, d), jnp.float32),  # dzx
+        jax.ShapeDtypeStruct((d_in, h), jnp.float32),  # dw_in
+        jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_in
+        jax.ShapeDtypeStruct((n_inj, d_latent, h), jnp.float32),  # dwz
+        jax.ShapeDtypeStruct((n_inj, h), jnp.float32),  # dbz
+        jax.ShapeDtypeStruct((n_blocks, h, h), jnp.float32),  # dw0
+        jax.ShapeDtypeStruct((n_blocks, h), jnp.float32),  # db0
+        jax.ShapeDtypeStruct((n_blocks, h, h), jnp.float32),  # dw1
+        jax.ShapeDtypeStruct((n_blocks, h), jnp.float32),  # db1
+        jax.ShapeDtypeStruct((h, d_out), jnp.float32),  # dw_out
+        jax.ShapeDtypeStruct((1, d_out), jnp.float32),  # db_out
+    )
+    out_specs = (
+        pl.BlockSpec(
+            (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ) + tuple(const_spec(o.shape) for o in out_shapes[1:])
+
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tb, d_out), lambda s, bb: (s, bb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + _weight_specs(wcast),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(zx_padded, g, *wcast)
+
+    dzx = res[0]
+    if pad:
+        dzx = dzx[:, :, :b]
+    dw = ResnetFCWeights(
+        w_in=res[1], b_in=res[2], wz=res[3], bz=res[4], w0=res[5], b0=res[6],
+        w1=res[7], b1=res[8], w_out=res[9], b_out=res[10],
+    )
+    return dzx, dw
+
+
+def _fused_vjp_fwd(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
+    out, residuals = _fused_fwd_impl(
+        zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
+    )
+    return out, residuals
+
+
+def _fused_vjp_bwd(n_blocks, combine_layer, ns, d_latent, interpret, residuals, g):
+    return _fused_bwd_impl(
+        n_blocks, combine_layer, ns, d_latent, interpret, residuals, g
+    )
+
+
+resnetfc_fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

@@ -27,6 +27,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_train_step",
+    "shard_train_step_shmap",
 ]
 
 DATA_AXIS = "data"
@@ -119,5 +120,54 @@ def shard_train_step(train_step, mesh: Mesh):
             out_shardings=(repl, repl),
         )
         return jitted(state, batch, rng)
+
+    return run
+
+
+# batch keys sharded over the object axis in shard_map mode (same contract
+# as batch_sharding above)
+_DATA_SHARDED_KEYS = frozenset(
+    {
+        "images", "poses", "focal", "c", "bbox",
+        "src_images", "src_poses", "src_c", "z_bounds",
+    }
+)
+
+
+def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
+    """Explicit-SPMD alternative to `shard_train_step`: runs the step under
+    `shard_map` instead of relying on GSPMD auto-partitioning.
+
+    Why both exist: auto-partitioning cannot split a `pallas_call`, so the
+    fused Pallas field MLP (ops/resnetfc_pallas.py) only scales out on this
+    path — each shard runs the megakernel on its local (SB/data, R/rays)
+    slice and the step pmeans gradients across the mesh (build the step
+    with `make_train_step(..., pmean_axes=("data", "rays"))`).
+
+    Contract: state and rng replicated; batch leaves with known keys sharded
+    over 'data' (SB divisible by the data axis); the step's `num_rays` is
+    rays per rays-shard. Outputs (replicated): a tuple of `n_outputs`
+    pytrees — (state, metrics) for a train step (n_outputs=2), metrics only
+    for an eval step built with the same pmean_axes (n_outputs=1).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    P_ = PartitionSpec
+    out_specs = (P_(),) * n_outputs if n_outputs > 1 else P_()
+
+    def run(state, batch, rng):
+        batch_specs = {
+            k: (P_(DATA_AXIS) if k in _DATA_SHARDED_KEYS else P_())
+            for k in batch
+        }
+        fn = shard_map(
+            train_step,
+            mesh=mesh,
+            in_specs=(P_(), batch_specs, P_()),
+            out_specs=out_specs,
+            check_rep=False,
+        )
+        return jax.jit(fn)(state, batch, rng)
 
     return run

@@ -155,6 +155,7 @@ def make_train_step(
     use_bbox: bool = False,
     ray_spec=None,
     remat: bool = True,
+    pmean_axes: Optional[Tuple[str, ...]] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -164,7 +165,16 @@ def make_train_step(
     :param ray_spec optional jax.sharding.PartitionSpec (e.g. P('data','rays'))
         applied to the generated ray tensor so the field evaluation shards
         over the rays mesh axis (requires an active mesh context / jit with
-        NamedSharding inputs).
+        NamedSharding inputs). GSPMD auto-partitioning mode.
+    :param pmean_axes mesh axis names when the step runs INSIDE shard_map
+        (parallel.mesh.shard_train_step_shmap): the step then sees per-shard
+        batch/ray shapes, folds the RNG per shard, and pmeans grads /
+        batch_stats / metrics across the axes (the SPMD equivalent of
+        DataParallel's gradient reduction, riding ICI). This is the path
+        that supports Pallas kernels in the field MLP — XLA's auto
+        partitioner cannot split a pallas_call, shard_map runs it on
+        per-shard data. num_rays is then rays PER RAYS-SHARD and the SB
+        seen here is SB per data-shard.
     """
     if rgb_loss_fn is None:
         rgb_loss_fn = lambda p, t: jnp.mean((p - t) ** 2)
@@ -172,6 +182,10 @@ def make_train_step(
         rgb_fine_loss_fn = rgb_loss_fn
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        if pmean_axes:
+            # distinct pixel/noise draws per shard
+            for ax in pmean_axes:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
         k_pix, k_render = jax.random.split(rng)
         rays, rgb_gt = sample_rays(
             k_pix,
@@ -235,6 +249,14 @@ def make_train_step(
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if pmean_axes:
+            # cross-shard reduction: the global loss is the mean of equal-
+            # sized per-shard means, so pmean of grads == grads of the
+            # global mean. Params/opt state stay replicated because every
+            # shard applies the identical update.
+            grads = jax.lax.pmean(grads, pmean_axes)
+            aux = jax.lax.pmean(aux, pmean_axes)
+            new_stats = jax.lax.pmean(new_stats, pmean_axes)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -256,10 +278,18 @@ def make_eval_step(
     z_far: float,
     lambda_coarse: float = 1.0,
     lambda_fine: float = 1.0,
+    pmean_axes: Optional[Tuple[str, ...]] = None,
 ) -> Callable:
-    """Loss-only step on held-out data (reference eval_step train.py:288-292)."""
+    """Loss-only step on held-out data (reference eval_step train.py:288-292).
+
+    :param pmean_axes as in make_train_step — set when running under
+        shard_map; metrics are pmean'd across the mesh axes.
+    """
 
     def eval_step(state: TrainState, batch, rng: jax.Array):
+        if pmean_axes:
+            for ax in pmean_axes:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
         k_pix, k_render = jax.random.split(rng)
         rays, rgb_gt = sample_rays(
             k_pix, batch["images"], batch["poses"], batch["focal"], batch["c"],
@@ -283,6 +313,8 @@ def make_eval_step(
             aux["rf"] = lambda_fine * jnp.mean((out["fine"]["rgb"] - rgb_gt) ** 2)
             total = total + aux["rf"]
         aux["t"] = total
+        if pmean_axes:
+            aux = jax.lax.pmean(aux, pmean_axes)
         return aux
 
     return eval_step

@@ -53,6 +53,11 @@ def extra_args(parser):
         help="Freeze the encoder for the first N epochs, then unfreeze "
         "(the reference's finetune_resnet.py staged warmup)",
     )
+    parser.add_argument(
+        "--spmd_mode", choices=("shard_map", "gspmd"), default="shard_map",
+        help="Multi-chip execution: explicit shard_map SPMD (supports the "
+        "fused Pallas field MLP) or GSPMD auto-partitioning",
+    )
     return parser
 
 
@@ -172,7 +177,19 @@ def main(argv=None):
 
     from jax.sharding import PartitionSpec as P
 
-    ray_spec = P(DATA_AXIS, RAYS_AXIS) if mesh is not None else None
+    use_shmap = mesh is not None and args.spmd_mode == "shard_map"
+    ray_spec = (
+        P(DATA_AXIS, RAYS_AXIS) if (mesh is not None and not use_shmap) else None
+    )
+    if use_shmap:
+        from pixelnerf_tpu.parallel.mesh import shard_train_step_shmap
+
+        rays_sz = mesh.shape[RAYS_AXIS]
+        pmean_axes = (DATA_AXIS, RAYS_AXIS)
+        rays_per_shard = max(1, args.ray_batch_size // rays_sz)
+    else:
+        pmean_axes = None
+        rays_per_shard = args.ray_batch_size
 
     step_cache: Dict = {}
 
@@ -181,18 +198,24 @@ def main(argv=None):
         step_model = model_frozen if frozen else model
         if cache_key not in step_cache:
             t_step = make_train_step(
-                step_model, rcfg, tx, num_rays=args.ray_batch_size,
+                step_model, rcfg, tx, num_rays=rays_per_shard,
                 z_near=dset.z_near, z_far=dset.z_far,
                 lambda_coarse=lambda_coarse, lambda_fine=lambda_fine,
                 rgb_loss_fn=rgb_loss, rgb_fine_loss_fn=rgb_fine_loss,
-                use_bbox=use_bbox, ray_spec=ray_spec,
+                use_bbox=use_bbox, ray_spec=ray_spec, pmean_axes=pmean_axes,
             )
             e_step = make_eval_step(
-                model, rcfg, num_rays=args.ray_batch_size,
+                model, rcfg, num_rays=rays_per_shard,
                 z_near=dset.z_near, z_far=dset.z_far,
                 lambda_coarse=lambda_coarse, lambda_fine=lambda_fine,
+                pmean_axes=pmean_axes,
             )
-            if mesh is not None:
+            if use_shmap:
+                step_cache[cache_key] = (
+                    shard_train_step_shmap(t_step, mesh, n_outputs=2),
+                    shard_train_step_shmap(e_step, mesh, n_outputs=1),
+                )
+            elif mesh is not None:
                 repl = replicated(mesh)
                 bshard = batch_sharding(mesh)
 

@@ -251,9 +251,16 @@ def loads(text: str, base_dir: Optional[str] = None) -> ConfigTree:
                     stack.append(child)
                     line = val_text[1:]
                     continue
-                # value may be followed by a '}' closing brace on same line
+                if val_text.startswith("["):
+                    # list value; anything after the closing ']' (e.g. '}'
+                    # braces on the same line) is re-processed as line input
+                    val, rest = _parse_list(val_text)
+                    stack[-1][key] = val
+                    line = rest
+                    continue
+                # value may be followed by '}' closing brace(s) on same line
                 closes = 0
-                while val_text.endswith("}") and not val_text.startswith("["):
+                while val_text.endswith("}"):
                     val_text = val_text[:-1].rstrip()
                     closes += 1
                 stack[-1][key] = _parse_value(val_text)

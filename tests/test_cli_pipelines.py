@@ -163,3 +163,18 @@ def test_calc_metrics_cli(workspace):
     assert os.path.exists(all_metrics)
     text = open(all_metrics).read()
     assert "total psnr" in text
+
+
+@pytest.mark.slow
+def test_train_cli_shard_map_mesh(workspace):
+    """Training CLI on a (data:2, rays:4) virtual mesh via the explicit
+    shard_map SPMD path (default --spmd_mode)."""
+    from pixelnerf_tpu.train.train_pixelnerf import main
+
+    main(
+        _common_args(workspace, "t_mesh")
+        + ["-V", "2", "-B", "2", "-R", "16", "--epochs", "2",
+           "--vis_chunk", "256", "--mesh", "data:2,rays:4"]
+    )
+    ckpt_dir = os.path.join(workspace["root"], "ckpt", "t_mesh")
+    assert os.path.exists(os.path.join(ckpt_dir, "pixel_nerf_latest"))
