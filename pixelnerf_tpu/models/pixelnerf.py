@@ -221,7 +221,12 @@ class PixelNeRFNet(nn.Module):
             if self.d_in == 0:
                 mlp_input = latent
             else:
-                mlp_input = jnp.concatenate([latent, mlp_input], axis=-1)
+                # keep the (huge) gathered-latent part in the compute dtype
+                # (bf16 under model.dtype=bfloat16) — concatenating with an
+                # f32 code would silently upcast it and double HBM traffic
+                mlp_input = jnp.concatenate(
+                    [latent, mlp_input.astype(latent.dtype)], axis=-1
+                )
 
         if self.use_global_encoder:
             gl = enc.global_latent
@@ -259,9 +264,19 @@ def _make_mlp(conf, d_in: int, d_latent: int, d_out: int, dtype, allow_empty=Fal
     raise NotImplementedError("Unsupported MLP type")
 
 
-def make_model(conf, dtype=jnp.float32, stop_encoder_grad: bool = False):
+def make_model(conf, dtype=None, stop_encoder_grad: bool = False):
     """Factory from a 'model' config subtree. Reference: src/model/__init__.py:4-11
-    + models.py:16-87 (the d_in/d_latent bookkeeping lives here)."""
+    + models.py:16-87 (the d_in/d_latent bookkeeping lives here).
+
+    `dtype` is the COMPUTE dtype (params stay f32): conf key `dtype`
+    ('float32' | 'bfloat16'), overridable by the argument. bfloat16 is the
+    TPU production setting (MXU-native; halves activation HBM traffic);
+    heads and compositing stay f32.
+    """
+    if dtype is None:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            conf.get_string("dtype", "float32")
+        ]
     use_encoder = conf.get_bool("use_encoder", True)
     use_xyz = conf.get_bool("use_xyz", False)
     assert use_encoder or use_xyz  # must use some feature

@@ -251,8 +251,10 @@ class ResnetFC(nn.Module):
             b_out=b_out[None, :],
         )
         interpret = jax.default_backend() != "tpu"
+        if zx.dtype not in (jnp.float32, jnp.bfloat16):
+            zx = zx.astype(jnp.float32)
         out = resnetfc_fused(
-            zx.astype(jnp.float32).reshape(sb, ns, b, -1),
+            zx.reshape(sb, ns, b, -1),
             weights,
             self.n_blocks,
             self.combine_layer,

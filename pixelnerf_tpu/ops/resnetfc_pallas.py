@@ -177,7 +177,7 @@ def _bwd_kernel(
         zx, w, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
         d_latent=d_latent, keep_acts=True,
     )
-    z = acts["z"]
+    z = acts["z"]  # input dtype (f32 or bf16)
     g_out = g_ref[0]  # (TB, d_out) f32
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -196,7 +196,7 @@ def _bwd_kernel(
     acc(dw_out, slice(None), _dot_g(_relu(xf), g_out))
     g_x = _dot_t(g_out, w.w_out) * (xf > 0.0)
 
-    g_z = jnp.zeros_like(z)
+    g_z = jnp.zeros(z.shape, jnp.float32)  # accumulate input-grad in f32
     for blk in reversed(range(n_blocks)):
         x_in = acts["block_in"][blk]
         h1 = acts["h1"][blk]
@@ -219,7 +219,8 @@ def _bwd_kernel(
     acc(db_in, 0, jnp.sum(g_x, axis=0))
     acc(dw_in, slice(None), _dot_g(acts["xin"], g_x))
     d_xin = _dot_t(g_x, w.w_in)
-    dzx_ref[0] = jnp.concatenate([g_z, d_xin], axis=-1).reshape(ns_, tb, d)
+    dzx = jnp.concatenate([g_z, d_xin], axis=-1).reshape(ns_, tb, d)
+    dzx_ref[0] = dzx.astype(dzx_ref.dtype)
 
 
 def _pick_tile(b: int, ns: int) -> int:
@@ -356,7 +357,7 @@ def _fused_bwd_impl(
         )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((sb, ns, bp, d), jnp.float32),  # dzx
+        jax.ShapeDtypeStruct((sb, ns, bp, d), zx_padded.dtype),  # dzx
         jax.ShapeDtypeStruct((d_in, h), jnp.float32),  # dw_in
         jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_in
         jax.ShapeDtypeStruct((n_inj, d_latent, h), jnp.float32),  # dwz

@@ -154,7 +154,7 @@ def make_train_step(
     rgb_fine_loss_fn: Callable = None,
     use_bbox: bool = False,
     ray_spec=None,
-    remat: bool = True,
+    remat: bool = False,
     pmean_axes: Optional[Tuple[str, ...]] = None,
 ) -> Callable:
     """Build the jittable train step.
@@ -222,12 +222,14 @@ def make_train_step(
                 return model.apply(qvars, enc, xyz, viewdirs, coarse, method="query")
 
             if remat:
-                # Rematerialize the field evaluation in the backward pass:
-                # without this the coarse+fine MLP activations
-                # (rays x samples x d_hidden per layer) must all stay live
-                # for backward and blow out HBM at production ray batches
-                # (SURVEY.md §7 'hard parts'). Recomputing trades ~1 extra
-                # forward of MXU FLOPs for O(K * d_hidden) activation memory.
+                # Optionally rematerialize the field evaluation in the
+                # backward pass. Off by default: the fused Pallas MLP
+                # already keeps its layer activations out of HBM (only the
+                # (M, d_latent+d_in) kernel input is a residual), so at
+                # default batches everything fits comfortably in 16 GB HBM
+                # and remat costs ~30% step time for one extra forward.
+                # Turn on (--remat) for very large ray/sample batches
+                # (SURVEY.md §7 'hard parts').
                 query_fn = jax.checkpoint(query_fn, static_argnums=(2,))
 
             out = render_rays(

@@ -58,6 +58,11 @@ def extra_args(parser):
         help="Multi-chip execution: explicit shard_map SPMD (supports the "
         "fused Pallas field MLP) or GSPMD auto-partitioning",
     )
+    parser.add_argument(
+        "--remat", action="store_true", default=False,
+        help="Rematerialize the field evaluation in backward (slower, "
+        "lower memory; for very large ray batches)",
+    )
     return parser
 
 
@@ -203,6 +208,7 @@ def main(argv=None):
                 lambda_coarse=lambda_coarse, lambda_fine=lambda_fine,
                 rgb_loss_fn=rgb_loss, rgb_fine_loss_fn=rgb_fine_loss,
                 use_bbox=use_bbox, ray_spec=ray_spec, pmean_axes=pmean_axes,
+                remat=bool(args.remat),
             )
             e_step = make_eval_step(
                 model, rcfg, num_rays=rays_per_shard,
