@@ -23,13 +23,34 @@ __all__ = [
 
 
 def load_image(path: str) -> np.ndarray:
-    """Read an image file -> (H, W, C) uint8."""
-    import imageio.v2 as imageio
+    """Read an image file -> (H, W, C) uint8.
 
-    img = np.asarray(imageio.imread(path))
+    Uses the native threaded decoder (native/imagecodec.cpp) when it built;
+    imageio otherwise."""
+    from pixelnerf_tpu.native import imagecodec
+
+    img = imagecodec.decode_image(path)
+    if img is None:
+        import imageio.v2 as imageio
+
+        img = np.asarray(imageio.imread(path))
     if img.ndim == 2:
         img = img[..., None]
     return img
+
+
+def load_images(paths) -> list:
+    """Read a batch of image files concurrently -> list of (H, W, C) uint8.
+
+    The per-object view loop is the host input-pipeline hot spot (NV files
+    per object per batch); the native decoder runs them across a C++ thread
+    pool in one call."""
+    from pixelnerf_tpu.native import imagecodec
+
+    out = imagecodec.decode_batch(list(paths))
+    if out is not None:
+        return [im[..., None] if im.ndim == 2 else im for im in out]
+    return [load_image(p) for p in paths]
 
 
 def image_to_balanced(img: np.ndarray) -> np.ndarray:

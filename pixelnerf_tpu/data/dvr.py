@@ -26,6 +26,7 @@ from pixelnerf_tpu.data.common import (
     bbox_from_mask,
     image_to_balanced,
     load_image,
+    load_images,
     resize_area_np,
 )
 
@@ -146,6 +147,15 @@ class DVRDataset:
 
         all_cam = np.load(os.path.join(root_dir, "cameras.npz"))
 
+        # decode all views in one threaded native call
+        raw_imgs = load_images(rgb_paths)
+        raw_masks = (
+            load_images([m for m in mask_paths if m is not None])
+            if any(m is not None for m in mask_paths)
+            else []
+        )
+        mask_iter = iter(raw_masks)
+
         imgs, poses, masks, bboxes = [], [], [], []
         focal = None
         fx = fy = cx = cy = 0.0
@@ -153,7 +163,7 @@ class DVRDataset:
 
         for idx, (rgb_path, mask_path) in enumerate(zip(rgb_paths, mask_paths)):
             i = sel_indices[idx]
-            img = load_image(rgb_path)[..., :3]
+            img = raw_imgs[idx][..., :3]
             if self.scale_focal:
                 x_scale = img.shape[1] / 2.0
                 y_scale = img.shape[0] / 2.0
@@ -209,7 +219,7 @@ class DVRDataset:
 
             if mask_path is not None:
                 have_masks = True
-                mask = load_image(mask_path)[..., :1]
+                mask = next(mask_iter)[..., :1]
                 masks.append((mask > 0).astype(np.float32))
                 bboxes.append(bbox_from_mask(mask))
 

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from pixelnerf_tpu.data.common import image_to_balanced, load_image
+from pixelnerf_tpu.data.common import image_to_balanced, load_image, load_images
 
 __all__ = ["MultiObjectDataset"]
 
@@ -68,11 +68,16 @@ class MultiObjectDataset:
         with open(trans_file) as f:
             transform = json.load(f)
 
+        obj_paths = [
+            os.path.join(
+                dir_path,
+                os.path.splitext(os.path.basename(fr["file_path"]))[0] + "_obj.png",
+            )
+            for fr in transform["frames"]
+        ]
+        raws = load_images(obj_paths)  # RGBA, one threaded call
         imgs, bboxes, masks, poses = [], [], [], []
-        for frame in transform["frames"]:
-            basename = os.path.splitext(os.path.basename(frame["file_path"]))[0]
-            obj_path = os.path.join(dir_path, f"{basename}_obj.png")
-            raw = load_image(obj_path)  # RGBA
+        for frame, raw in zip(transform["frames"], raws):
             mask = (raw[..., 3:4].astype(np.float32)) / 255.0  # (H, W, 1)
 
             # bbox from any-nonzero rows/cols of the raw image

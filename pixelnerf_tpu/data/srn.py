@@ -29,7 +29,7 @@ import numpy as np
 from pixelnerf_tpu.data.common import (
     bbox_from_mask,
     image_to_balanced,
-    load_image,
+    load_images,
     mask_from_white_bkgd,
     resize_area_np,
 )
@@ -118,9 +118,9 @@ class SRNDataset:
             lines = f.readlines()
             focal, cx, cy, _ = map(float, lines[0].split())
 
+        raws = load_images(rgb_paths)  # all views in one threaded call
         imgs, poses, masks, bboxes = [], [], [], []
-        for rgb_path, pose_path in zip(rgb_paths, pose_paths):
-            raw = load_image(rgb_path)
+        for raw, pose_path in zip(raws, pose_paths):
             if raw.shape[-1] == 4:
                 # RGBA -> white composite (orgSRNDataset.py:168-176)
                 alpha = raw[..., 3:4].astype(np.float32) / 255.0

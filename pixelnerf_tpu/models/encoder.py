@@ -57,9 +57,27 @@ def index_features(
     :param image_size (2,) [W, H] of the input image
     :return (B, N, C)
     Reference: SpatialEncoder.index, src/model/encoder.py:80-109.
+
+    On TPU with the default bilinear/border lookup, the backward runs
+    through the Pallas MXU scatter kernel (ops/scatter_pallas.py) instead
+    of XLA's serialized scatter-add; d_uv is structurally zero on the
+    training path (see that module's docstring).
     """
+    import jax
+
     scale = latent_scaling / image_size  # (2,)
     grid = uv * scale - 1.0
+    if (
+        index_interp == "bilinear"
+        and index_padding == "border"
+        and jax.default_backend() == "tpu"
+    ):
+        from pixelnerf_tpu.ops.scatter_pallas import (
+            fused_supported, grid_sample_border_train,
+        )
+
+        if fused_supported(latent.shape[1], latent.shape[2]):
+            return grid_sample_border_train(latent, grid)
     return grid_sample_2d(
         latent, grid, padding_mode=index_padding, align_corners=True,
         mode=index_interp,

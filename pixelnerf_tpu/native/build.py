@@ -22,19 +22,20 @@ _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _iso_lib: Optional[ctypes.CDLL] = None
 
 
-def _compile(src: str, out: str) -> None:
+def _compile(src: str, out: str, extra_flags=()) -> None:
     os.makedirs(os.path.dirname(out), exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, src,
+        *extra_flags,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
-def _load(name: str) -> ctypes.CDLL:
+def _load(name: str, extra_flags=()) -> ctypes.CDLL:
     src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
     out = os.path.join(_BUILD_DIR, f"lib{name}.so")
     if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
-        _compile(src, out)
+        _compile(src, out, extra_flags)
     return ctypes.CDLL(out)
 
 

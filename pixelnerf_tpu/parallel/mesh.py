@@ -106,6 +106,12 @@ def shard_train_step(train_step, mesh: Mesh):
     XLA partitions the encoder over objects, the field evaluation over
     objects x rays, and inserts the gradient all-reduce automatically
     (out-sharding of params/opt_state is replicated).
+
+    NOTE: GSPMD cannot auto-partition pallas_call, so on a multi-device
+    TPU mesh this mode requires the XLA fallback paths (ResnetFC
+    use_pallas=False; index_features falls back off-TPU automatically).
+    The default production mode is `shard_train_step_shmap`, which runs
+    the Pallas kernels per-shard.
     """
     repl = replicated(mesh)
     bshard = batch_sharding(mesh)
