@@ -50,16 +50,26 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: bool = True,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """:param num_shards/shard_id multi-host input sharding: every host
+        constructs the loader with the same seed and
+        (jax.process_count(), jax.process_index()); the shuffled epoch
+        order is identical across hosts (same rng) and each host loads a
+        disjoint interleaved slice — the per-host part of the global
+        object batch (SURVEY §7 step 7)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -68,6 +78,10 @@ class BatchLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        if self.num_shards > 1:
+            # same permutation everywhere; disjoint interleaved slices
+            usable = (len(idx) // self.num_shards) * self.num_shards
+            idx = idx[:usable][self.shard_id :: self.num_shards]
         batches = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)

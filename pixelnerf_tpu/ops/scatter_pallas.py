@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pixelnerf_tpu.ops.grid_sample import grid_sample_2d
 
-__all__ = ["grid_sample_border_train", "bilerp_scatter_add", "fused_supported"]
+__all__ = [
+    "grid_sample_border_train",
+    "bilerp_gather",
+    "bilerp_scatter_add",
+    "fused_supported",
+]
 
 # one-hot width limit: (TN, P) bf16 tiles must fit VMEM alongside the
 # (P, C) f32 accumulator
@@ -47,13 +52,13 @@ def fused_supported(hl: int, wl: int) -> bool:
     return hl * wl <= _MAX_PIXELS
 
 
-def _scatter_kernel(uv_ref, dz_ref, out_ref, *, hl, wl):
-    """Accumulate d_feat (1, P, C) for one feature map over point tiles."""
-    tn = uv_ref.shape[1]
-    p = hl * wl
+def _onehot_w(uv, hl, wl):
+    """Weighted bilinear one-hot (TN, P) bf16 for normalized uv (TN, 2).
 
-    uv = uv_ref[0]  # (TN, 2) f32, normalized [-1, 1]
-    # align_corners=True unnormalize + border clamp (grid_sample_2d:39-81)
+    Row p holds the 4 corner weights of point p at its corner pixel ids —
+    the gather is `onehot @ feat_flat`, its transpose the scatter."""
+    tn = uv.shape[0]
+    p = hl * wl
     x = (uv[:, 0] + 1.0) * 0.5 * (wl - 1)
     y = (uv[:, 1] + 1.0) * 0.5 * (hl - 1)
     x = jnp.clip(x, 0.0, wl - 1.0)
@@ -80,8 +85,66 @@ def _scatter_kernel(uv_ref, dz_ref, out_ref, *, hl, wl):
         + oh_term(x1, y0, wx * (1.0 - wy))
         + oh_term(x0, y1, (1.0 - wx) * wy)
         + oh_term(x1, y1, wx * wy)
-    ).astype(jnp.bfloat16)  # (TN, P)
+    )
+    return oh.astype(jnp.bfloat16)
 
+
+def _gather_kernel(uv_ref, feat_ref, out_ref, *, hl, wl):
+    """out (1, TN, C) = onehot_w @ feat (1, P, C) for one feature map."""
+    oh = _onehot_w(uv_ref[0], hl, wl)  # (TN, P)
+    out_ref[0] = jax.lax.dot_general(
+        oh,
+        feat_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def bilerp_gather(
+    feat: jnp.ndarray,
+    uv: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MXU gather: sample feat (B, Hl, Wl, C) at normalized uv (B, N, 2)
+    (bilinear, border, align_corners=True). Returns (B, N, C) in feat dtype.
+    """
+    B, hl, wl, C = feat.shape
+    N = uv.shape[1]
+    p = hl * wl
+    tn = 512
+    pad = (-N) % tn
+    if pad:
+        uv = jnp.pad(uv, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
+    npad = N + pad
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, hl=hl, wl=wl),
+        grid=(B, npad // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tn, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, p, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tn, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, npad, C), feat.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(uv.astype(jnp.float32), feat.reshape(B, p, C).astype(jnp.bfloat16))
+    if pad:
+        out = out[:, :N]
+    return out
+
+
+def _scatter_kernel(uv_ref, dz_ref, out_ref, *, hl, wl):
+    """Accumulate d_feat (1, P, C) for one feature map over point tiles."""
+    oh = _onehot_w(uv_ref[0], hl, wl)  # (TN, P)
     dz = dz_ref[0]  # (TN, C) f32
     val = jax.lax.dot_general(
         oh,
@@ -146,24 +209,32 @@ def bilerp_scatter_add(
     return out.reshape(B, hl, wl, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def grid_sample_border_train(
-    feat: jnp.ndarray, uv: jnp.ndarray, interpret: bool = False
-) -> jnp.ndarray:
-    """grid_sample (bilinear, border, align_corners=True) whose backward
-    scatters through the Pallas MXU kernel and returns ZERO gradient for uv.
-
-    Training-path only — see module docstring for when d_uv = 0 is exact.
-    """
+def _fwd_gather(feat, uv, interpret):
+    # bf16 features: the MXU one-hot gather (weights rounded to bf16 —
+    # consistent with the bf16 compute path). f32 features: exact XLA
+    # gather, so f32 models keep f32 interpolation on TPU.
+    if feat.dtype == jnp.bfloat16:
+        return bilerp_gather(feat, uv, interpret=interpret)
     return grid_sample_2d(
         feat, uv, padding_mode="border", align_corners=True, mode="bilinear"
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample_border_train(
+    feat: jnp.ndarray, uv: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """grid_sample (bilinear, border, align_corners=True) for the training
+    hot path: MXU one-hot gather forward (bf16 features), Pallas MXU
+    scatter backward, and ZERO gradient for uv.
+
+    Training-path only — see module docstring for when d_uv = 0 is exact.
+    """
+    return _fwd_gather(feat, uv, interpret)
+
+
 def _gsbt_fwd(feat, uv, interpret):
-    out = grid_sample_2d(
-        feat, uv, padding_mode="border", align_corners=True, mode="bilinear"
-    )
+    out = _fwd_gather(feat, uv, interpret)
     # zero-size token carrying (hl, wl, dtype) statically into the bwd rule
     token = jnp.empty((feat.shape[1], feat.shape[2], 0), feat.dtype)
     return out, (uv, token)

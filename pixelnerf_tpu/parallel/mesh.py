@@ -140,6 +140,29 @@ _DATA_SHARDED_KEYS = frozenset(
 )
 
 
+def globalize_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Multi-host input pipeline: assemble per-host local batches into
+    global jax.Arrays sharded over the 'data' axis.
+
+    Each host loads a disjoint slice of the global object batch
+    (data.loader.BatchLoader num_shards/shard_id); this stitches the host-
+    local numpy arrays into addressable shards of one global array
+    (jax.make_array_from_process_local_data). No-op on a single process.
+    """
+    if jax.process_count() == 1:
+        return batch
+    repl = replicated(mesh)
+    bshard = batch_sharding(mesh)
+    import numpy as _np
+
+    return {
+        k: jax.make_array_from_process_local_data(
+            bshard.get(k, repl), _np.asarray(v)
+        )
+        for k, v in batch.items()
+    }
+
+
 def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
     """Explicit-SPMD alternative to `shard_train_step`: runs the step under
     `shard_map` instead of relying on GSPMD auto-partitioning.

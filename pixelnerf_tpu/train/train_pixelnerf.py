@@ -127,9 +127,16 @@ def main(argv=None):
         loss_conf.get_config("rgb_fine", loss_conf.get_config("rgb")), coarse=False
     )
 
-    train_loader = BatchLoader(dset, args.batch_size, shuffle=True, seed=0)
+    # multi-host: each process loads its disjoint slice of the global batch
+    # (same seed everywhere -> same shuffle; interleaved shards)
+    nproc, pid = jax.process_count(), jax.process_index()
+    train_loader = BatchLoader(
+        dset, args.batch_size, shuffle=True, seed=0,
+        num_shards=nproc, shard_id=pid,
+    )
     test_loader = BatchLoader(
-        val_dset, min(args.batch_size, 16), shuffle=True, seed=1
+        val_dset, min(args.batch_size, 16), shuffle=True, seed=1,
+        num_shards=nproc, shard_id=pid,
     )
 
     # ------- optimizer: per-epoch gamma decay expressed per-step ---------
@@ -271,6 +278,10 @@ def main(argv=None):
                 data, self.host_rng, nviews,
                 use_bbox=self.use_bbox if train else False,
             )
+            if mesh is not None and jax.process_count() > 1:
+                from pixelnerf_tpu.parallel.mesh import globalize_batch
+
+                return globalize_batch(batch, mesh)
             return {k: jnp.asarray(v) for k, v in batch.items()}
 
         def train_step(self, data, global_step):

@@ -143,3 +143,32 @@ def test_factory_dtu_flags(tmp_path):
         want_split="train",
     )
     assert len(dset) == 2
+
+
+def test_batchloader_multihost_sharding():
+    """Per-host loaders with the same seed cover the dataset disjointly
+    (multi-host input pipeline contract)."""
+    from pixelnerf_tpu.data.loader import BatchLoader
+
+    class _FakeDset:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return {"images": np.zeros((1, 2, 2, 3), np.float32), "idx": i}
+
+    dset = _FakeDset()
+    seen = []
+    for shard in range(4):
+        ld = BatchLoader(
+            dset, batch_size=2, shuffle=True, seed=5, prefetch=False,
+            num_shards=4, shard_id=shard,
+        )
+        ids = [int(b["idx"][j]) for b in ld for j in range(len(b["idx"]))]
+        seen.append(set(ids))
+    # disjoint and jointly covering 12 of 13 (floor to equal shards)
+    all_ids = set().union(*seen)
+    assert len(all_ids) == 12
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (seen[a] & seen[b])

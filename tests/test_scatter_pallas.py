@@ -75,3 +75,16 @@ def test_uv_grad_is_zero_by_contract():
         lambda u: jnp.sum(grid_sample_border_train(feat, u, True) ** 2)
     )(uv)
     assert float(jnp.max(jnp.abs(g_uv))) == 0.0
+
+
+def test_bilerp_gather_matches_xla():
+    """MXU one-hot gather vs XLA gather on bf16 features (interpret mode)."""
+    from pixelnerf_tpu.ops.scatter_pallas import bilerp_gather
+
+    feat, uv = _data(C=16)
+    featb = feat.astype(jnp.bfloat16)
+    ref = grid_sample_2d(featb, uv, "border", True, "bilinear").astype(jnp.float32)
+    got = bilerp_gather(featb, uv, interpret=True).astype(jnp.float32)
+    # both paths use bf16 features; the pallas path also rounds the lerp
+    # weights to bf16
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
