@@ -84,10 +84,16 @@ def main() -> None:
         state, aux = train_step(state, batch, jax.random.PRNGKey(i))
         _ = float(aux["t"])
 
+    # steady-state throughput: chain ITERS steps through the state
+    # dependency and fetch ONCE at the end — the final host fetch cannot
+    # complete before every chained step ran, and real training does not
+    # sync the host every step.
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, aux = train_step(state, batch, jax.random.PRNGKey(100 + i))
-        _ = float(aux["t"])  # force execution of the full chained step
+    # the last step's metrics depend on the whole state chain; one fetch
+    # forces every step
+    _ = float(aux["t"])
     dt = time.perf_counter() - t0
 
     total_rays = SB * RAYS_PER_OBJ * ITERS
