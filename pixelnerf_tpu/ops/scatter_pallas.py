@@ -56,9 +56,13 @@ def _onehot_w(uv, hl, wl):
     """Weighted bilinear one-hot (TN, P) bf16 for normalized uv (TN, 2).
 
     Row p holds the 4 corner weights of point p at its corner pixel ids —
-    the gather is `onehot @ feat_flat`, its transpose the scatter."""
+    the gather is `onehot @ feat_flat`, its transpose the scatter.
+
+    Built separably — a 2-hot over columns (TN, Wl) outer-multiplied with a
+    2-hot over rows (TN, Hl) — so the VPU does O(TN*(Hl+Wl)) compares plus
+    one O(TN*P) multiply, instead of 4 full-width compare+select+add
+    passes over (TN, P)."""
     tn = uv.shape[0]
-    p = hl * wl
     x = (uv[:, 0] + 1.0) * 0.5 * (wl - 1)
     y = (uv[:, 1] + 1.0) * 0.5 * (hl - 1)
     x = jnp.clip(x, 0.0, wl - 1.0)
@@ -69,24 +73,27 @@ def _onehot_w(uv, hl, wl):
     wy = y - y0f
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, p), 1)
-
-    def oh_term(ix, iy, w):
-        # corners with ix==wl / iy==hl have w==0 (border clamp) and their
-        # id >= p never matches a column, so they contribute nothing
-        idx = (iy * wl + ix)[:, None]
-        return jnp.where(cols == idx, w[:, None], 0.0)
-
-    oh = (
-        oh_term(x0, y0, (1.0 - wx) * (1.0 - wy))
-        + oh_term(x1, y0, wx * (1.0 - wy))
-        + oh_term(x0, y1, (1.0 - wx) * wy)
-        + oh_term(x1, y1, wx * wy)
+    # x two-hot at (TN, Wl), tiled Hl times along lanes (column j of the
+    # tiled array is x == j % Wl). Mosaic supports lane concatenation but
+    # not collapsing minor dims, so the outer product is expressed as
+    # tile(x) * row-indexed-select(y) instead of a 3D reshape.
+    colsx = jax.lax.broadcasted_iota(jnp.int32, (tn, wl), 1)
+    ohx = jnp.where(
+        colsx == x0[:, None],
+        (1.0 - wx)[:, None],
+        jnp.where(colsx == x0[:, None] + 1, wx[:, None], 0.0),
     )
-    return oh.astype(jnp.bfloat16)
+    ohx_tiled = jnp.concatenate([ohx] * hl, axis=1)  # (TN, P)
+
+    # y two-hot evaluated at the row index j // Wl of every column
+    jy = jax.lax.broadcasted_iota(jnp.int32, (tn, hl * wl), 1) // wl
+    ohy = jnp.where(
+        jy == y0[:, None],
+        (1.0 - wy)[:, None],
+        jnp.where(jy == y0[:, None] + 1, wy[:, None], 0.0),
+    )
+    return (ohx_tiled * ohy).astype(jnp.bfloat16)
 
 
 def _gather_kernel(uv_ref, feat_ref, out_ref, *, hl, wl):
