@@ -80,9 +80,20 @@ def parse_args(
     parser.add_argument(
         "--ray_batch_size", "-R", type=int, default=default_ray_batch_size
     )
+    parser.add_argument(
+        "--debug_nans", action="store_true", default=False,
+        help="jax.config jax_debug_nans: error out on the op that produced "
+        "a NaN (the reference's torch.autograd.set_detect_anomaly, "
+        "train/train.py:29); slows execution, use for debugging only",
+    )
     if callback is not None:
         parser = callback(parser)
     args = parser.parse_args(argv)
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     if args.exp_group_name is not None:
         args.logs_path = os.path.join(args.logs_path, args.exp_group_name)
