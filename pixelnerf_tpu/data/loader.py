@@ -124,13 +124,22 @@ def make_step_batch(
     rng: np.random.Generator,
     nviews: Sequence[int],
     use_bbox: bool = True,
+    compact_transfer: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Build the train-step batch: pick NS source views per object.
 
     Reference train.py:203-221: one NS drawn per batch from `nviews`; with
     NS == 1 a single randint per object, else choice without replacement.
+
+    :param compact_transfer produce the wire-efficient batch variant:
+        images quantized back to uint8 (they started life as uint8 PNGs —
+        lossless round-trip) and source views referenced by `image_ord`
+        indices instead of duplicated pixels; the jitted step dequantizes
+        and gathers ON DEVICE (train.step._prepare_batch). Cuts host->
+        device bytes ~5x per step, which dominates real training on
+        remote/tunneled TPU hosts.
     """
-    images = data["images"]  # (SB, NV, H, W, 3)
+    images = data["images"]  # (SB, NV, H, W, 3) f32 in [-1, 1]
     SB, NV = images.shape[:2]
     curr_nviews = int(nviews[rng.integers(0, len(nviews))])
     if curr_nviews == 1:
@@ -139,12 +148,6 @@ def make_step_batch(
         image_ord = np.stack(
             [rng.choice(NV, curr_nviews, replace=False) for _ in range(SB)]
         )
-
-    take = lambda arr: np.stack(
-        [arr[b][image_ord[b]] for b in range(SB)]
-    )
-    src_images = take(images)
-    src_poses = take(data["poses"])
 
     focal = np.asarray(data["focal"], dtype=np.float32)
     if focal.ndim == 1:
@@ -159,14 +162,27 @@ def make_step_batch(
             np.array([[W * 0.5, H * 0.5]], dtype=np.float32), (SB, 1)
         )
 
-    batch = {
-        "images": images.astype(np.float32),
-        "poses": data["poses"].astype(np.float32),
-        "focal": focal,
-        "c": c,
-        "src_images": src_images.astype(np.float32),
-        "src_poses": src_poses.astype(np.float32),
-    }
+    if compact_transfer:
+        u8 = np.clip((images.astype(np.float32) + 1.0) * 127.5, 0, 255)
+        batch = {
+            "images_u8": np.rint(u8).astype(np.uint8),
+            "image_ord": image_ord.astype(np.int32),
+            "poses": data["poses"].astype(np.float32),
+            "focal": focal,
+            "c": c,
+        }
+    else:
+        take = lambda arr: np.stack(
+            [arr[b][image_ord[b]] for b in range(SB)]
+        )
+        batch = {
+            "images": images.astype(np.float32),
+            "poses": data["poses"].astype(np.float32),
+            "focal": focal,
+            "c": c,
+            "src_images": take(images).astype(np.float32),
+            "src_poses": take(data["poses"]).astype(np.float32),
+        }
     if use_bbox and "bbox" in data:
         batch["bbox"] = data["bbox"].astype(np.float32)
     return batch

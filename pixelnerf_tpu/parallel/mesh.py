@@ -87,6 +87,8 @@ def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
     data = NamedSharding(mesh, P(DATA_AXIS))
     return {
         "images": data,
+        "images_u8": data,
+        "image_ord": data,
         "poses": data,
         "focal": data,
         "c": data,
@@ -134,7 +136,7 @@ def shard_train_step(train_step, mesh: Mesh):
 # as batch_sharding above)
 _DATA_SHARDED_KEYS = frozenset(
     {
-        "images", "poses", "focal", "c", "bbox",
+        "images", "images_u8", "image_ord", "poses", "focal", "c", "bbox",
         "src_images", "src_poses", "src_c", "z_bounds",
     }
 )

@@ -57,6 +57,27 @@ def create_train_state(variables, tx: optax.GradientTransformation) -> TrainStat
     )
 
 
+def _prepare_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Expand a compact-transfer batch on device (see
+    data.loader.make_step_batch compact_transfer): dequantize uint8 images
+    to [-1, 1] f32 and gather the source views by index — both inside the
+    jitted step, so the host ships ~5x fewer bytes per step."""
+    if "images_u8" not in batch:
+        return batch
+    out = dict(batch)
+    u8 = out.pop("images_u8")
+    ordv = out.pop("image_ord")  # (SB, NS) int32
+    images = u8.astype(jnp.float32) / 127.5 - 1.0
+    out["images"] = images
+    out["src_images"] = jnp.take_along_axis(
+        images, ordv[:, :, None, None, None], axis=1
+    )
+    out["src_poses"] = jnp.take_along_axis(
+        out["poses"], ordv[:, :, None, None], axis=1
+    )
+    return out
+
+
 def sample_rays(
     rng: jax.Array,
     images: jnp.ndarray,
@@ -182,6 +203,7 @@ def make_train_step(
         rgb_fine_loss_fn = rgb_loss_fn
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        batch = _prepare_batch(batch)
         if pmean_axes:
             # distinct pixel/noise draws per shard
             for ax in pmean_axes:
@@ -289,6 +311,7 @@ def make_eval_step(
     """
 
     def eval_step(state: TrainState, batch, rng: jax.Array):
+        batch = _prepare_batch(batch)
         if pmean_axes:
             for ax in pmean_axes:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))

@@ -277,6 +277,7 @@ def main(argv=None):
             batch = make_step_batch(
                 data, self.host_rng, nviews,
                 use_bbox=self.use_bbox if train else False,
+                compact_transfer=True,
             )
             if mesh is not None and jax.process_count() > 1:
                 from pixelnerf_tpu.parallel.mesh import globalize_batch
@@ -294,7 +295,10 @@ def main(argv=None):
             t_step, _ = get_steps(rcfg, self.use_bbox and "bbox" in data, frozen)
             batch = self._device_batch(data, global_step, train=True)
             self.state, aux = t_step(self.state, batch, self._next_key())
-            return {k: float(v) for k, v in aux.items()}
+            # return device scalars — the Trainer converts at print/log
+            # intervals, so steps between prints never sync the host
+            # (each sync costs a full round-trip on remote backends)
+            return aux
 
         def eval_step(self, data, global_step):
             if "images" not in data:
@@ -302,8 +306,7 @@ def main(argv=None):
             rcfg = rcfg0.at_iteration(global_step)
             _, e_step = get_steps(rcfg, False)
             batch = self._device_batch(data, global_step, train=False)
-            aux = e_step(self.state, batch, self._next_key())
-            return {k: float(v) for k, v in aux.items()}
+            return e_step(self.state, batch, self._next_key())
 
         def vis_step(self, data, global_step, idx=None):
             if "images" not in data:

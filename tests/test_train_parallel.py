@@ -231,3 +231,48 @@ def test_shmap_step_runs_and_replicates():
     # second step composes (exercises donation/caching)
     st2, aux2 = run(st1, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(aux2["t"]))
+
+
+def test_compact_transfer_batch_matches_full():
+    """The uint8+index wire format must produce the same step result as the
+    full f32 batch (u8 round-trip is lossless for u8-sourced images)."""
+    from pixelnerf_tpu.data.loader import make_step_batch
+
+    SB, NV, H, W = 2, 4, 16, 16
+    host = np.random.default_rng(0)
+    u8 = host.integers(0, 256, (SB, NV, H, W, 3), dtype=np.uint8)
+    images = u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (SB, NV, 1, 1))
+    poses[..., 2, 3] = 1.4
+    data = {
+        "images": images,
+        "poses": poses,
+        "focal": np.full((SB,), float(W), np.float32),
+        "c": np.full((SB, 2), W / 2.0, np.float32),
+    }
+
+    full = make_step_batch(data, np.random.default_rng(7), [2])
+    compact = make_step_batch(
+        data, np.random.default_rng(7), [2], compact_transfer=True
+    )
+
+    model = _tiny_model()
+    rcfg = RendererConfig(n_coarse=4, n_fine=0)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        key, jnp.asarray(full["src_images"]), jnp.asarray(full["src_poses"]),
+        jnp.asarray(full["focal"]), jnp.zeros((SB, 4, 3)),
+        viewdirs=jnp.zeros((SB, 4, 3)),
+    )
+    tx = optax.adam(1e-3)
+    step = jax.jit(
+        make_train_step(model, rcfg, tx, num_rays=8, z_near=0.5, z_far=2.0)
+    )
+    st = create_train_state(variables, tx)
+    _, aux_full = step(st, {k: jnp.asarray(v) for k, v in full.items()},
+                       jax.random.PRNGKey(3))
+    _, aux_comp = step(st, {k: jnp.asarray(v) for k, v in compact.items()},
+                       jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        float(aux_comp["t"]), float(aux_full["t"]), rtol=1e-6
+    )
