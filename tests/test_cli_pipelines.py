@@ -178,3 +178,32 @@ def test_train_cli_shard_map_mesh(workspace):
     )
     ckpt_dir = os.path.join(workspace["root"], "ckpt", "t_mesh")
     assert os.path.exists(os.path.join(ckpt_dir, "pixel_nerf_latest"))
+
+
+@pytest.mark.slow
+def test_eval_real_cli(workspace):
+    """Single-image demo: normalized input image -> orbit frames.
+
+    Needs the checkpoint from test_train_cli_end_to_end."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from pixelnerf_tpu.eval.eval_real import main
+
+    inp = os.path.join(workspace["root"], "real_in")
+    outp = os.path.join(workspace["root"], "real_out")
+    os.makedirs(inp, exist_ok=True)
+    rng = np.random.default_rng(0)
+    img = np.full((16, 16, 3), 255, np.uint8)
+    img[4:12, 4:12] = rng.integers(0, 180, (8, 8, 3), dtype=np.uint8)
+    imageio.imwrite(os.path.join(inp, "car_normalize.png"), img)
+
+    main(
+        _common_args(workspace, "t1")
+        + ["-I", inp, "-O", outp, "--size", "16", "--out_size", "16",
+           "--focal", "16", "--num_views", "3", "--no_vid", "-R", "256",
+           "--resume"]
+    )
+    frames_dir = os.path.join(outp, "car_normalize_frames")
+    frames = [f for f in os.listdir(frames_dir) if f.endswith(".png")]
+    assert len(frames) == 3
