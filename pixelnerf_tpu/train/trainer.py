@@ -161,6 +161,11 @@ class Trainer:
         test_iter = data_loop(self.test_loader)
         step_id = self.start_iter_id
         print("Starting training at step", step_id)
+        if self.start_epoch >= self.num_epochs:
+            print(
+                f"Nothing to do: resumed at epoch {self.start_epoch} but "
+                f"--epochs is {self.num_epochs}; raise --epochs to continue."
+            )
 
         for epoch in range(self.start_epoch, self.num_epochs):
             lr = self.current_lr(epoch)
