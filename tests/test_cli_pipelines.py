@@ -207,3 +207,18 @@ def test_eval_real_cli(workspace):
     frames_dir = os.path.join(outp, "car_normalize_frames")
     frames = [f for f in os.listdir(frames_dir) if f.endswith(".png")]
     assert len(frames) == 3
+
+
+@pytest.mark.slow
+def test_eval_approx_cli(workspace):
+    """Seeded approximate PSNR/SSIM eval on the test split (needs the
+    checkpoint from test_train_cli_end_to_end)."""
+    from pixelnerf_tpu.eval.eval_approx import main
+
+    psnr, ssim = main(
+        _common_args(workspace, "t1")
+        + ["-F", "srn", "--split", "test", "-P", "0", "--seed", "3",
+           "-R", "512", "--resume"]
+    )
+    assert np.isfinite(psnr) and np.isfinite(ssim)
+    assert 0.0 <= ssim <= 1.0
