@@ -113,11 +113,18 @@ def _dot_g(a, b):
 
 
 def _forward_body(zx, w, *, n_blocks, combine_layer, ns, d_latent, keep_acts):
-    """Shared forward math. zx (NS*TB, D) f32. Returns (out, acts)."""
+    """Shared forward math. zx (NS*TB, D) f32 or bf16. Returns (out, acts).
+
+    `w.wz`/`w.bz` arrive PACKED — (d_latent, n_inj*H) / (1, n_inj*H), block
+    b in columns [b*H, (b+1)*H) — so all latent injections are ONE wide MXU
+    matmul computed up front (z is constant through the block chain)
+    instead of n_inj narrow ones interleaved with it."""
     n_inj = min(combine_layer, n_blocks)
+    h = w.w0.shape[-1]
     z = zx[:, :d_latent]
     xin = zx[:, d_latent:]
     x = _dot(xin, w.w_in) + w.b_in[0]
+    injs = _dot(z, w.wz) + w.bz[0] if n_inj > 0 else None
     acts = {"block_in": [], "h1": []} if keep_acts else None
     tb = zx.shape[0] // ns
 
@@ -125,7 +132,7 @@ def _forward_body(zx, w, *, n_blocks, combine_layer, ns, d_latent, keep_acts):
         if blk == combine_layer and ns > 1:
             x = jnp.mean(x.reshape(ns, tb, x.shape[-1]), axis=0)
         if blk < n_inj:
-            x = x + _dot(z, w.wz[blk]) + w.bz[blk]
+            x = x + injs[:, blk * h : (blk + 1) * h]
         if keep_acts:
             acts["block_in"].append(x)
         h1 = _dot(_relu(x), w.w0[blk]) + w.b0[blk]
@@ -196,7 +203,7 @@ def _bwd_kernel(
     acc(dw_out, slice(None), _dot_g(_relu(xf), g_out))
     g_x = _dot_t(g_out, w.w_out) * (xf > 0.0)
 
-    g_z = jnp.zeros(z.shape, jnp.float32)  # accumulate input-grad in f32
+    gx_inj = [None] * n_inj  # cotangent at each injection point
     for blk in reversed(range(n_blocks)):
         x_in = acts["block_in"][blk]
         h1 = acts["h1"][blk]
@@ -207,14 +214,22 @@ def _bwd_kernel(
         acc(dw0, blk, _dot_g(_relu(x_in), g_h1))
         g_x = g_x + _dot_t(g_h1, w.w0[blk]) * (x_in > 0.0)
         if blk < n_inj:
-            acc(dbz, blk, jnp.sum(g_x, axis=0))
-            acc(dwz, blk, _dot_g(z, g_x))
-            g_z = g_z + _dot_t(g_x, w.wz[blk])
+            gx_inj[blk] = g_x
         if blk == combine_layer and ns > 1:
             # un-pool the multi-view average: broadcast / NS
             g_x = jnp.broadcast_to(
                 g_x[None] / float(ns), (ns,) + g_x.shape
             ).reshape(ns * tb, -1)
+
+    if n_inj > 0:
+        # mirrored to the packed forward injection: one wide matmul each
+        # for the latent grad and the packed weight/bias grads
+        gx_cat = jnp.concatenate(gx_inj, axis=-1)  # (M, n_inj*H)
+        acc(dbz, 0, jnp.sum(gx_cat, axis=0))
+        acc(dwz, slice(None), _dot_g(z, gx_cat))
+        g_z = _dot_t(gx_cat, w.wz)  # (M, d_latent) f32
+    else:
+        g_z = jnp.zeros(z.shape, jnp.float32)
 
     acc(db_in, 0, jnp.sum(g_x, axis=0))
     acc(dw_in, slice(None), _dot_g(acts["xin"], g_x))
@@ -265,11 +280,17 @@ def resnetfc_fused(
     return out
 
 
-def _cast_weights(w: ResnetFCWeights) -> ResnetFCWeights:
+def _cast_weights(w: ResnetFCWeights, n_inj: int) -> ResnetFCWeights:
+    """bf16 matmul weights / f32 biases, with the injection weights PACKED
+    for the kernel: wz (n_inj, dl, H) -> (dl, n_inj*H), bz -> (1, n_inj*H)
+    (block b in columns [b*H, (b+1)*H)) so injections are one wide matmul."""
     bf = lambda a: a.astype(jnp.bfloat16)
     f32 = lambda a: a.astype(jnp.float32)
+    dl, h = w.wz.shape[1], w.wz.shape[2]
+    wz_p = jnp.swapaxes(w.wz, 0, 1).reshape(dl, n_inj * h)
+    bz_p = w.bz.reshape(1, n_inj * h)
     return ResnetFCWeights(
-        bf(w.w_in), f32(w.b_in), bf(w.wz), f32(w.bz), bf(w.w0), f32(w.b0),
+        bf(w.w_in), f32(w.b_in), bf(wz_p), f32(bz_p), bf(w.w0), f32(w.b0),
         bf(w.w1), f32(w.b1), bf(w.w_out), f32(w.b_out),
     )
 
@@ -300,7 +321,7 @@ def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpre
     grid = (sb, bp // tb)
     d_out = weights.w_out.shape[-1]
 
-    wcast = _cast_weights(weights)
+    wcast = _cast_weights(weights, min(combine_layer, n_blocks))
     kern = functools.partial(
         _fwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
         ns=ns, d_latent=d_latent,
@@ -340,8 +361,8 @@ def _fused_bwd_impl(
         g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
     g = g.astype(jnp.float32)
 
-    wcast = _cast_weights(weights)
     n_inj = min(combine_layer, n_blocks)
+    wcast = _cast_weights(weights, n_inj)
     h = weights.w0.shape[-1]
     d_in = weights.w_in.shape[0]
 
@@ -360,8 +381,8 @@ def _fused_bwd_impl(
         jax.ShapeDtypeStruct((sb, ns, bp, d), zx_padded.dtype),  # dzx
         jax.ShapeDtypeStruct((d_in, h), jnp.float32),  # dw_in
         jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_in
-        jax.ShapeDtypeStruct((n_inj, d_latent, h), jnp.float32),  # dwz
-        jax.ShapeDtypeStruct((n_inj, h), jnp.float32),  # dbz
+        jax.ShapeDtypeStruct((d_latent, n_inj * h), jnp.float32),  # dwz packed
+        jax.ShapeDtypeStruct((1, n_inj * h), jnp.float32),  # dbz packed
         jax.ShapeDtypeStruct((n_blocks, h, h), jnp.float32),  # dw0
         jax.ShapeDtypeStruct((n_blocks, h), jnp.float32),  # db0
         jax.ShapeDtypeStruct((n_blocks, h, h), jnp.float32),  # dw1
@@ -399,8 +420,11 @@ def _fused_bwd_impl(
     dzx = res[0]
     if pad:
         dzx = dzx[:, :, :b]
+    # unpack the packed injection grads back to the external (n_inj, dl, H)
+    dwz = jnp.swapaxes(res[3].reshape(d_latent, n_inj, h), 0, 1)
+    dbz = res[4].reshape(n_inj, h)
     dw = ResnetFCWeights(
-        w_in=res[1], b_in=res[2], wz=res[3], bz=res[4], w0=res[5], b0=res[6],
+        w_in=res[1], b_in=res[2], wz=dwz, bz=dbz, w0=res[5], b0=res[6],
         w1=res[7], b1=res[8], w_out=res[9], b_out=res[10],
     )
     return dzx, dw
