@@ -47,8 +47,12 @@ int decode_png(FILE* fp, unsigned char** out, int* w, int* h, int* src_ch) {
         png_destroy_read_struct(&png, nullptr, nullptr);
         return 1;
     }
+    // volatile: assigned after setjmp, must survive the longjmp error path
+    // (a corrupt file mid-read would otherwise leak the pixel buffer)
+    unsigned char* volatile buf_guard = nullptr;
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
+        std::free(buf_guard);
         return 1;
     }
     png_init_io(png, fp);
@@ -88,6 +92,7 @@ int decode_png(FILE* fp, unsigned char** out, int* w, int* h, int* src_ch) {
         png_destroy_read_struct(&png, &info, nullptr);
         return 1;
     }
+    buf_guard = buf;
     std::vector<png_bytep> rows(height);
     for (int y = 0; y < height; ++y) rows[y] = buf + (size_t)y * width * 4;
     png_read_image(png, rows.data());
@@ -116,8 +121,10 @@ int decode_jpeg(FILE* fp, unsigned char** out, int* w, int* h, int* src_ch) {
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = jpeg_err_exit;
+    unsigned char* volatile buf_guard = nullptr;  // see decode_png
     if (setjmp(jerr.jb)) {
         jpeg_destroy_decompress(&cinfo);
+        std::free(buf_guard);
         return 1;
     }
     jpeg_create_decompress(&cinfo);
@@ -136,6 +143,7 @@ int decode_jpeg(FILE* fp, unsigned char** out, int* w, int* h, int* src_ch) {
         jpeg_destroy_decompress(&cinfo);
         return 1;
     }
+    buf_guard = buf;
     std::vector<unsigned char> row((size_t)width * 3);
     unsigned char* rp = row.data();
     for (int y = 0; y < height; ++y) {

@@ -22,8 +22,24 @@ __all__ = [
 ]
 
 
+def _canon_channels(img: np.ndarray) -> np.ndarray:
+    """Canonical channel layout regardless of decoder: grayscale expands to
+    RGB (gray+alpha to RGBA) so callers always see >= 3 channels — the
+    native decoder already produces this; the imageio fallback must match
+    or dataset behavior would depend on which decoder built."""
+    if img.ndim == 2:
+        return np.repeat(img[..., None], 3, axis=-1)
+    if img.shape[-1] == 1:
+        return np.repeat(img, 3, axis=-1)
+    if img.shape[-1] == 2:  # gray + alpha
+        return np.concatenate(
+            [np.repeat(img[..., :1], 3, axis=-1), img[..., 1:]], axis=-1
+        )
+    return img
+
+
 def load_image(path: str) -> np.ndarray:
-    """Read an image file -> (H, W, C) uint8.
+    """Read an image file -> (H, W, 3|4) uint8 (gray expanded to RGB).
 
     Uses the native threaded decoder (native/imagecodec.cpp) when it built;
     imageio otherwise."""
@@ -34,13 +50,11 @@ def load_image(path: str) -> np.ndarray:
         import imageio.v2 as imageio
 
         img = np.asarray(imageio.imread(path))
-    if img.ndim == 2:
-        img = img[..., None]
-    return img
+    return _canon_channels(img)
 
 
 def load_images(paths) -> list:
-    """Read a batch of image files concurrently -> list of (H, W, C) uint8.
+    """Read a batch of image files concurrently -> list of (H, W, 3|4) uint8.
 
     The per-object view loop is the host input-pipeline hot spot (NV files
     per object per batch); the native decoder runs them across a C++ thread
@@ -49,7 +63,7 @@ def load_images(paths) -> list:
 
     out = imagecodec.decode_batch(list(paths))
     if out is not None:
-        return [im[..., None] if im.ndim == 2 else im for im in out]
+        return [_canon_channels(im) for im in out]
     return [load_image(p) for p in paths]
 
 

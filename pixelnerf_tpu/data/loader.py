@@ -132,12 +132,16 @@ def make_step_batch(
     NS == 1 a single randint per object, else choice without replacement.
 
     :param compact_transfer produce the wire-efficient batch variant:
-        images quantized back to uint8 (they started life as uint8 PNGs —
-        lossless round-trip) and source views referenced by `image_ord`
-        indices instead of duplicated pixels; the jitted step dequantizes
-        and gathers ON DEVICE (train.step._prepare_batch). Cuts host->
-        device bytes ~5x per step, which dominates real training on
-        remote/tunneled TPU hosts.
+        images quantized back to uint8 and source views referenced by
+        `image_ord` indices instead of duplicated pixels; the jitted step
+        dequantizes and gathers ON DEVICE (train.step._prepare_batch).
+        Cuts host->device bytes ~5x per step, which dominates real
+        training on remote/tunneled TPU hosts. The round-trip is exact
+        for images that are straight u8 decodes; alpha-composited or
+        area-resized images can shift by up to 1/255 per channel — below
+        sensor noise, but pass compact_transfer=False (CLI:
+        --no_compact_transfer) for bit-exact parity with the reference
+        pipeline.
     """
     images = data["images"]  # (SB, NV, H, W, 3) f32 in [-1, 1]
     SB, NV = images.shape[:2]

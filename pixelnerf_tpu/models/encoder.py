@@ -49,27 +49,35 @@ def index_features(
     image_size: jnp.ndarray,
     index_interp: str = "bilinear",
     index_padding: str = "border",
+    allow_fused: bool = True,
 ) -> jnp.ndarray:
     """Pixel-aligned feature lookup.
 
     :param latent (B, Hl, Wl, C)
     :param uv (B, N, 2) image points (x, y) in *input image* pixel coords
     :param image_size (2,) [W, H] of the input image
+    :param allow_fused permit the Pallas gather/scatter path; pass False
+        under GSPMD auto-partitioning (cannot split pallas_call)
     :return (B, N, C)
     Reference: SpatialEncoder.index, src/model/encoder.py:80-109.
 
-    On TPU with the default bilinear/border lookup, the backward runs
-    through the Pallas MXU scatter kernel (ops/scatter_pallas.py) instead
-    of XLA's serialized scatter-add; d_uv is structurally zero on the
-    training path (see that module's docstring).
+    On TPU with the default bilinear/border lookup and bf16 features, the
+    lookup runs through the Pallas MXU gather/scatter kernels
+    (ops/scatter_pallas.py) instead of XLA's row-wise gather and
+    serialized scatter-add; d_uv is structurally zero on the training
+    path (see that module's docstring). f32 features keep the exact XLA
+    path in BOTH directions so f32 models never silently get
+    bf16-precision encoder gradients.
     """
     import jax
 
     scale = latent_scaling / image_size  # (2,)
     grid = uv * scale - 1.0
     if (
-        index_interp == "bilinear"
+        allow_fused
+        and index_interp == "bilinear"
         and index_padding == "border"
+        and latent.dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     ):
         from pixelnerf_tpu.ops.scatter_pallas import (

@@ -82,6 +82,11 @@ class PixelNeRFNet(nn.Module):
     use_viewdirs: bool = False
     use_global_encoder: bool = False
     stop_encoder_grad: bool = False
+    # allow the fused Pallas gather/scatter for the pixel-aligned feature
+    # lookup (ops/scatter_pallas.py). Set False together with the MLPs'
+    # use_pallas=False for GSPMD auto-partitioning, which cannot split a
+    # pallas_call (make_model(use_pallas=False) sets both).
+    use_fused_gather: bool = True
     # submodules (see make_model)
     encoder: Optional[SpatialEncoder] = None
     code: Optional[PositionalEncoding] = None
@@ -213,6 +218,7 @@ class PixelNeRFNet(nn.Module):
                     enc.latent, enc.latent_scaling, uv, enc.image_size,
                     index_interp=self.encoder.index_interp,
                     index_padding=self.encoder.index_padding,
+                    allow_fused=self.use_fused_gather,
                 )  # (SB*NS, B, C)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
@@ -252,11 +258,17 @@ class PixelNeRFNet(nn.Module):
         return out
 
 
-def _make_mlp(conf, d_in: int, d_latent: int, d_out: int, dtype, allow_empty=False):
+def _make_mlp(
+    conf, d_in: int, d_latent: int, d_out: int, dtype, allow_empty=False,
+    use_pallas="auto",
+):
     """reference: src/model/model_util.py:6-17"""
     mlp_type = conf.get_string("type", "mlp") if conf else "empty"
     if mlp_type == "resnet":
-        return ResnetFC.from_conf(conf, d_in, d_latent=d_latent, d_out=d_out, dtype=dtype)
+        return ResnetFC.from_conf(
+            conf, d_in, d_latent=d_latent, d_out=d_out, dtype=dtype,
+            use_pallas=use_pallas,
+        )
     if mlp_type == "mlp":
         return ImplicitNet.from_conf(conf, d_in + d_latent, d_out=d_out, dtype=dtype)
     if mlp_type == "empty" and allow_empty:
@@ -264,7 +276,9 @@ def _make_mlp(conf, d_in: int, d_latent: int, d_out: int, dtype, allow_empty=Fal
     raise NotImplementedError("Unsupported MLP type")
 
 
-def make_model(conf, dtype=None, stop_encoder_grad: bool = False):
+def make_model(
+    conf, dtype=None, stop_encoder_grad: bool = False, use_pallas="auto",
+):
     """Factory from a 'model' config subtree. Reference: src/model/__init__.py:4-11
     + models.py:16-87 (the d_in/d_latent bookkeeping lives here).
 
@@ -272,6 +286,10 @@ def make_model(conf, dtype=None, stop_encoder_grad: bool = False):
     ('float32' | 'bfloat16'), overridable by the argument. bfloat16 is the
     TPU production setting (MXU-native; halves activation HBM traffic);
     heads and compositing stay f32.
+
+    `use_pallas` ('auto' | True | False) gates BOTH Pallas compute paths —
+    the fused field MLP and the fused feature gather/scatter. Pass False
+    for GSPMD auto-partitioning (it cannot split pallas_call).
     """
     if dtype is None:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
@@ -310,9 +328,13 @@ def make_model(conf, dtype=None, stop_encoder_grad: bool = False):
         d_latent += global_encoder.latent_size
 
     d_out = 4
-    mlp_coarse = _make_mlp(conf.get_config("mlp_coarse"), d_in, d_latent, d_out, dtype)
+    mlp_coarse = _make_mlp(
+        conf.get_config("mlp_coarse"), d_in, d_latent, d_out, dtype,
+        use_pallas=use_pallas,
+    )
     mlp_fine = _make_mlp(
-        conf.get_config("mlp_fine"), d_in, d_latent, d_out, dtype, allow_empty=True
+        conf.get_config("mlp_fine"), d_in, d_latent, d_out, dtype,
+        allow_empty=True, use_pallas=use_pallas,
     )
 
     return PixelNeRFNet(
@@ -324,6 +346,7 @@ def make_model(conf, dtype=None, stop_encoder_grad: bool = False):
         use_viewdirs=use_viewdirs,
         use_global_encoder=use_global_encoder,
         stop_encoder_grad=stop_encoder_grad,
+        use_fused_gather=use_pallas is not False,
         encoder=encoder,
         code=code,
         global_encoder=global_encoder,

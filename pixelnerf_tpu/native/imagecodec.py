@@ -78,8 +78,10 @@ def decode_batch(
         for i in range(n):
             h, w, src_ch = hs[i], ws[i], chs[i]
             rgba = np.ctypeslib.as_array(outs[i], shape=(h, w, 4))
-            # keep a real alpha channel, drop a synthetic one
-            result.append(rgba[..., :4].copy() if src_ch >= 4 else rgba[..., :3].copy())
+            # keep a REAL alpha channel (sources with 2=gray+alpha or
+            # 4=rgba channels), drop the synthetic opaque one
+            has_alpha = src_ch in (2, 4)
+            result.append(rgba.copy() if has_alpha else rgba[..., :3].copy())
         return result
     finally:
         for i in range(n):

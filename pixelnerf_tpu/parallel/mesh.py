@@ -186,19 +186,26 @@ def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
 
     P_ = PartitionSpec
     out_specs = (P_(),) * n_outputs if n_outputs > 1 else P_()
+    # one shard_map + jit per batch-key set — rebuilding them per call would
+    # defeat the jit trace cache and recompile the whole step every step
+    cache = {}
 
     def run(state, batch, rng):
-        batch_specs = {
-            k: (P_(DATA_AXIS) if k in _DATA_SHARDED_KEYS else P_())
-            for k in batch
-        }
-        fn = shard_map(
-            train_step,
-            mesh=mesh,
-            in_specs=(P_(), batch_specs, P_()),
-            out_specs=out_specs,
-            check_rep=False,
-        )
-        return jax.jit(fn)(state, batch, rng)
+        key = frozenset(batch)
+        if key not in cache:
+            batch_specs = {
+                k: (P_(DATA_AXIS) if k in _DATA_SHARDED_KEYS else P_())
+                for k in batch
+            }
+            cache[key] = jax.jit(
+                shard_map(
+                    train_step,
+                    mesh=mesh,
+                    in_specs=(P_(), batch_specs, P_()),
+                    out_specs=out_specs,
+                    check_rep=False,
+                )
+            )
+        return cache[key](state, batch, rng)
 
     return run

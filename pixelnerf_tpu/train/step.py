@@ -57,6 +57,32 @@ def create_train_state(variables, tx: optax.GradientTransformation) -> TrainStat
     )
 
 
+def _model_uses_fused_mlp(model) -> bool:
+    """True when every field MLP of `model` will take the fused Pallas path
+    on this backend (see models.resnetfc.ResnetFC._pallas_ok; the runtime
+    shape conditions there are assumed to hold for training batches)."""
+    from pixelnerf_tpu.ops.resnetfc_pallas import supported_config
+
+    mlps = [m for m in (model.mlp_coarse, model.mlp_fine) if m is not None]
+    if not mlps:
+        return False
+    for m in mlps:
+        up = getattr(m, "use_pallas", False)
+        if up is False:
+            return False
+        if not supported_config(
+            getattr(m, "beta", 1.0),
+            getattr(m, "use_spade", True),
+            getattr(m, "combine_type", ""),
+            getattr(m, "d_latent", 0),
+            getattr(m, "d_in", 0),
+        ):
+            return False
+        if up == "auto" and jax.default_backend() != "tpu":
+            return False
+    return True
+
+
 def _prepare_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Expand a compact-transfer batch on device (see
     data.loader.make_step_batch compact_transfer): dequantize uint8 images
@@ -175,7 +201,7 @@ def make_train_step(
     rgb_fine_loss_fn: Callable = None,
     use_bbox: bool = False,
     ray_spec=None,
-    remat: bool = False,
+    remat="auto",
     pmean_axes: Optional[Tuple[str, ...]] = None,
 ) -> Callable:
     """Build the jittable train step.
@@ -201,6 +227,14 @@ def make_train_step(
         rgb_loss_fn = lambda p, t: jnp.mean((p - t) ** 2)
     if rgb_fine_loss_fn is None:
         rgb_fine_loss_fn = rgb_loss_fn
+    if remat == "auto":
+        # The fused Pallas MLP keeps its layer activations out of HBM, so
+        # remat is unnecessary overhead (~30% step time) when it runs. Any
+        # configuration that falls back to the per-layer Flax MLP (softplus,
+        # SPADE, max-pooling, non-TPU backend, use_pallas=False) gets remat
+        # back as OOM protection — its coarse+fine activations can exceed
+        # HBM at production ray batches.
+        remat = not _model_uses_fused_mlp(model)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         batch = _prepare_batch(batch)

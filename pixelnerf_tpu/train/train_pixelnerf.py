@@ -61,7 +61,14 @@ def extra_args(parser):
     parser.add_argument(
         "--remat", action="store_true", default=False,
         help="Rematerialize the field evaluation in backward (slower, "
-        "lower memory; for very large ray batches)",
+        "lower memory; for very large ray batches). Default: auto — on "
+        "whenever the fused Pallas MLP is not in use",
+    )
+    parser.add_argument(
+        "--no_compact_transfer", action="store_true", default=False,
+        help="Ship full f32 batches to the device instead of the uint8 "
+        "wire format (bit-exact for composited/resized images, ~5x more "
+        "host->device bytes)",
     )
     return parser
 
@@ -108,7 +115,22 @@ def main(argv=None):
         )
     )
 
-    model = make_model(conf["model"], stop_encoder_grad=bool(args.freeze_enc))
+    # GSPMD auto-partitioning cannot split pallas_call: that mode must run
+    # the XLA fallback compute paths
+    gspmd_multichip = (
+        args.mesh
+        and args.spmd_mode == "gspmd"
+        and parse_mesh_spec(args.mesh)[DATA_AXIS]
+        * parse_mesh_spec(args.mesh)[RAYS_AXIS]
+        > 1
+    )
+    model = make_model(
+        conf["model"],
+        stop_encoder_grad=bool(args.freeze_enc),
+        use_pallas=False if gspmd_multichip else "auto",
+    )
+    if gspmd_multichip:
+        print("GSPMD mode: Pallas compute paths disabled (XLA fallbacks)")
     if args.freeze_enc:
         print("Encoder frozen")
     # warmup variant: encoder gradients stopped until warmup_steps
@@ -215,7 +237,7 @@ def main(argv=None):
                 lambda_coarse=lambda_coarse, lambda_fine=lambda_fine,
                 rgb_loss_fn=rgb_loss, rgb_fine_loss_fn=rgb_fine_loss,
                 use_bbox=use_bbox, ray_spec=ray_spec, pmean_axes=pmean_axes,
-                remat=bool(args.remat),
+                remat=True if args.remat else "auto",
             )
             e_step = make_eval_step(
                 model, rcfg, num_rays=rays_per_shard,
@@ -233,12 +255,20 @@ def main(argv=None):
                 bshard = batch_sharding(mesh)
 
                 def make_jit(fn):
+                    jits = {}  # per batch-key-set, else every call retraces
+
                     def run(st, batch, rng_key):
-                        shards = {k: bshard.get(k, repl) for k in batch}
-                        return jax.jit(
-                            fn, in_shardings=(repl, shards, repl),
-                            out_shardings=None,
-                        )(st, batch, rng_key)
+                        key = frozenset(batch)
+                        if key not in jits:
+                            shards = {k: bshard.get(k, repl) for k in batch}
+                            jits[key] = jax.jit(
+                                fn, in_shardings=(repl, shards, repl),
+                                out_shardings=None,
+                            )
+                        # the step's with_sharding_constraint(ray_spec)
+                        # needs an ambient mesh
+                        with jax.sharding.set_mesh(mesh):
+                            return jits[key](st, batch, rng_key)
 
                     return run
 
@@ -277,8 +307,18 @@ def main(argv=None):
             batch = make_step_batch(
                 data, self.host_rng, nviews,
                 use_bbox=self.use_bbox if train else False,
-                compact_transfer=True,
+                compact_transfer=not args.no_compact_transfer,
             )
+            if mesh is not None:
+                # partial batches can't shard over 'data': wrap-pad the
+                # object axis to a multiple (repeats a few objects on the
+                # trailing batch — same objects, slightly higher weight)
+                dsz = mesh.shape[DATA_AXIS]
+                sb = batch["poses"].shape[0]
+                pad = (-sb) % dsz
+                if pad:
+                    idx = np.resize(np.arange(sb), sb + pad)
+                    batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
             if mesh is not None and jax.process_count() > 1:
                 from pixelnerf_tpu.parallel.mesh import globalize_batch
 

@@ -65,3 +65,17 @@ def test_decode_batch_missing_file_falls_back(tmp_path, images):
         pytest.skip("native codec did not build on this host")
     paths = [images[0][0], str(tmp_path / "nope.png")]
     assert imagecodec.decode_batch(paths) is None
+
+
+def test_gray_alpha_png_keeps_alpha(tmp_path):
+    """A gray+alpha PNG must surface its REAL alpha channel (4-channel out)
+    through both decoders so the datasets' RGBA white-composite runs."""
+    rng = np.random.default_rng(3)
+    la = rng.integers(0, 255, (20, 24, 2), dtype=np.uint8)
+    p = str(tmp_path / "ga.png")
+    imageio.imwrite(p, la)
+
+    got = load_image(p)
+    assert got.shape == (20, 24, 4), got.shape
+    assert (got[..., 0] == la[..., 0]).all()  # gray replicated to RGB
+    assert (got[..., 3] == la[..., 1]).all()  # alpha preserved
