@@ -222,3 +222,19 @@ def test_eval_approx_cli(workspace):
     )
     assert np.isfinite(psnr) and np.isfinite(ssim)
     assert 0.0 <= ssim <= 1.0
+
+
+@pytest.mark.slow
+def test_train_cli_gspmd_mesh(workspace):
+    """Training CLI under GSPMD auto-partitioning: Pallas paths disabled,
+    mesh context active, partial eval batches wrap-padded."""
+    from pixelnerf_tpu.train.train_pixelnerf import main
+
+    main(
+        _common_args(workspace, "t_gspmd")
+        + ["-V", "2", "-B", "2", "-R", "16", "--epochs", "2",
+           "--vis_chunk", "256", "--mesh", "data:2,rays:4",
+           "--spmd_mode", "gspmd"]
+    )
+    ckpt_dir = os.path.join(workspace["root"], "ckpt", "t_gspmd")
+    assert os.path.exists(os.path.join(ckpt_dir, "pixel_nerf_latest"))
