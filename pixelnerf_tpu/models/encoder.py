@@ -42,8 +42,25 @@ def latent_scaling_for(latent_hw: Tuple[int, int]) -> jnp.ndarray:
     return jnp.asarray(s / (s - 1.0) * 2.0)
 
 
+def compose_pyramid(
+    levels, index_interp: str = "bilinear"
+) -> jnp.ndarray:
+    """Materialize the reference's upsampled feature pyramid from native
+    levels: every level bilinearly resized (align_corners quirk as in
+    reference encoder.py:147-160 — the `"nearest "` comparison including
+    its trailing space is the reference's) to level 0's resolution, then
+    channel-concatenated."""
+    align = None if index_interp == "nearest " else True
+    target_hw = levels[0].shape[1:3]
+    ups = [
+        resize_bilinear(l, target_hw, align_corners=bool(align))
+        for l in levels
+    ]
+    return jnp.concatenate(ups, axis=-1)
+
+
 def index_features(
-    latent: jnp.ndarray,
+    latent,
     latent_scaling: jnp.ndarray,
     uv: jnp.ndarray,
     image_size: jnp.ndarray,
@@ -53,7 +70,9 @@ def index_features(
 ) -> jnp.ndarray:
     """Pixel-aligned feature lookup.
 
-    :param latent (B, Hl, Wl, C)
+    :param latent (B, Hl, Wl, C) upsampled+concatenated pyramid, OR a tuple
+        of native levels [(B, H_l, W_l, C_l)] with level 0 the finest (what
+        `SpatialEncoder` returns for ResNet backbones)
     :param uv (B, N, 2) image points (x, y) in *input image* pixel coords
     :param image_size (2,) [W, H] of the input image
     :param allow_fused permit the Pallas gather/scatter path; pass False
@@ -62,17 +81,39 @@ def index_features(
     Reference: SpatialEncoder.index, src/model/encoder.py:80-109.
 
     On TPU with the default bilinear/border lookup and bf16 features, the
-    lookup runs through the Pallas MXU gather/scatter kernels
-    (ops/scatter_pallas.py) instead of XLA's row-wise gather and
-    serialized scatter-add; d_uv is structurally zero on the training
-    path (see that module's docstring). f32 features keep the exact XLA
-    path in BOTH directions so f32 models never silently get
-    bf16-precision encoder gradients.
+    lookup runs on the MXU: native-level tuples through the fused pyramid
+    gather/scatter (ops/pyramid_pallas.py — mathematically the reference's
+    upsample-then-sample, at native-resolution cost), single maps through
+    the one-hot gather/scatter (ops/scatter_pallas.py). d_uv is
+    structurally zero on the training path (see those modules'
+    docstrings). Elsewhere — CPU, GSPMD auto-partitioning, f32 models,
+    nearest/zeros lookups — native levels are composed into the reference's
+    upsampled concat map and sampled with the exact XLA path, so those
+    paths never silently get bf16-precision encoder gradients.
     """
     import jax
 
     scale = latent_scaling / image_size  # (2,)
     grid = uv * scale - 1.0
+
+    if isinstance(latent, (tuple, list)):
+        levels = tuple(latent)
+        fused_ok = (
+            allow_fused
+            and index_interp == "bilinear"
+            and index_padding == "border"
+            and all(l.dtype == jnp.bfloat16 for l in levels)
+            and jax.default_backend() == "tpu"
+        )
+        if fused_ok:
+            from pixelnerf_tpu.ops.pyramid_pallas import (
+                pyramid_index_train, pyramid_supported,
+            )
+
+            if pyramid_supported(levels[0].shape[1:3]):
+                return pyramid_index_train(levels, grid)
+        latent = compose_pyramid(levels, index_interp)
+
     if (
         allow_fused
         and index_interp == "bilinear"
@@ -123,7 +164,13 @@ class SpatialEncoder(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """:param x images (B, H, W, 3) in [-1, 1]
-        :return (latent (B, Hl, Wl, C), latent_scaling (2,))
+        :return (latent, latent_scaling (2,)) — for ResNet backbones
+        `latent` is the tuple of NATIVE stage maps [(B, H_l, W_l, C_l)],
+        finest first; the reference's upsample+concat (encoder.py:147-160)
+        happens lazily at lookup time (`index_features`), where the TPU
+        fused path replaces it entirely with native-resolution sampling
+        (ops/pyramid_pallas.py). For the custom backbone `latent` is a
+        single (B, Hl, Wl, C) map as in the reference.
         """
         if self.feature_scale != 1.0:
             Ho = int(round(x.shape[1] * self.feature_scale))
@@ -135,23 +182,16 @@ class SpatialEncoder(nn.Module):
 
         if self.backbone == "custom":
             latent = ConvEncoder(dtype=self.dtype, name="model")(x)
-        else:
-            latents = ResNetTrunk(
-                backbone=self.backbone,
-                num_stages=self.num_layers - 1,
-                use_first_pool=self.use_first_pool,
-                norm_type=self.norm_type,
-                dtype=self.dtype,
-                name="model",
-            )(x, train=train)
-            align = None if self.index_interp == "nearest " else True
-            target_hw = latents[0].shape[1:3]
-            ups = [
-                resize_bilinear(l, target_hw, align_corners=bool(align))
-                for l in latents
-            ]
-            latent = jnp.concatenate(ups, axis=-1)
-        return latent, latent_scaling_for(latent.shape[1:3])
+            return latent, latent_scaling_for(latent.shape[1:3])
+        latents = ResNetTrunk(
+            backbone=self.backbone,
+            num_stages=self.num_layers - 1,
+            use_first_pool=self.use_first_pool,
+            norm_type=self.norm_type,
+            dtype=self.dtype,
+            name="model",
+        )(x, train=train)
+        return tuple(latents), latent_scaling_for(latents[0].shape[1:3])
 
     @classmethod
     def from_conf(cls, conf, **kwargs) -> "SpatialEncoder":

@@ -45,7 +45,7 @@ class SceneEncoding:
     focal/c which keep the reference's broadcast shapes (models.py:119-141).
     """
 
-    latent: jnp.ndarray  # (SB*NS, Hl, Wl, C) feature pyramid
+    latent: Any  # (SB*NS, Hl, Wl, C) map, or tuple of native pyramid levels
     latent_scaling: jnp.ndarray  # (2,) pixel->grid scale
     poses: jnp.ndarray  # (SB*NS, 3, 4) world->camera [R|t]
     focal: jnp.ndarray  # (1 or SB, 2) with fy negated
@@ -222,7 +222,7 @@ class PixelNeRFNet(nn.Module):
                 )  # (SB*NS, B, C)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
-            latent = latent.reshape(-1, enc.latent.shape[-1])
+            latent = latent.reshape(-1, latent.shape[-1])
 
             if self.d_in == 0:
                 mlp_input = latent

@@ -119,7 +119,15 @@ def test_spatial_encoder_shapes(rng, use_first_pool, H, expect_hw):
     x = jnp.asarray(rng.uniform(-1, 1, (2, H, H, 3)).astype(np.float32))
     variables = enc.init(jax.random.PRNGKey(0), x)
     (latent, scaling), _ = enc.apply(x=x, variables=variables, mutable=["batch_stats"])
-    assert latent.shape == (2, expect_hw, expect_hw, 512)
+    # ResNet backbones return the NATIVE stage maps; the upsampled concat
+    # is composed lazily at lookup time (see SpatialEncoder.__call__)
+    assert isinstance(latent, tuple) and len(latent) == 4
+    assert latent[0].shape[1:3] == (expect_hw, expect_hw)
+    assert sum(l.shape[-1] for l in latent) == 512
+    from pixelnerf_tpu.models.encoder import compose_pyramid
+
+    composed = compose_pyramid(latent)
+    assert composed.shape == (2, expect_hw, expect_hw, 512)
     np.testing.assert_allclose(
         np.asarray(scaling), np.asarray(latent_scaling_for((expect_hw, expect_hw)))
     )
