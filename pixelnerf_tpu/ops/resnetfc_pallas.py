@@ -19,11 +19,16 @@ network runs as ONE Pallas kernel per point tile:
   average pooling at `combine_layer` (reference resnetfc.py:170-172,
   util.py:461-471) are fused into the same kernel — the pooling is a
   reshape+mean inside VMEM, not a separate HBM pass;
-* the backward pass is a second Pallas kernel (custom VJP) that
-  REMATERIALIZES the forward per tile in VMEM (so no layer activations
-  are ever written to HBM for autodiff) and accumulates weight gradients
-  across grid cells in a VMEM-resident f32 block (TPU grid cells execute
-  sequentially, making the read-modify-write accumulation race-free).
+* the backward pass is a second Pallas kernel (custom VJP) fed by a bf16
+  RELU'D ACTIVATION STASH the VJP-forward writes to HBM: the stash holds
+  exactly the bf16 operands the forward's MXU matmuls consumed (every
+  `_dot` casts its relu'd input to bf16), so the backward reproduces the
+  forward's arithmetic with NO rematerialization — ~1/3 of the backward
+  matmuls gone for ~2 bytes/activation of (overlappable) HBM traffic.
+  The primal-only forward kernel writes no stash, so inference pays
+  nothing. Weight gradients accumulate across grid cells in a
+  VMEM-resident f32 block (TPU grid cells execute sequentially, making
+  the read-modify-write accumulation race-free).
 
 Supported configuration (falls back to the Flax path otherwise — see
 models/resnetfc.py): beta == 0 (ReLU), use_spade=False,
@@ -165,26 +170,97 @@ def _fwd_kernel(
     out_ref[0] = out
 
 
-def _bwd_kernel(
-    zx_ref, g_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out,
-    dzx_ref, dw_in, db_in, dwz, dbz, dw0, db0, dw1, db1, dw_out, db_out,
-    *, n_blocks, combine_layer, ns, d_latent,
+def _stash_layout(n_blocks: int, combine_layer: int, ns: int):
+    """(k, m): k pre-pool blocks (rows NS*TB), m post-pool blocks (rows TB).
+
+    The backward stash stores the relu'd block inputs and hidden
+    pre-activations in bf16 — exactly the values the forward's MXU matmuls
+    consumed (every `_dot` casts its relu'd input to bf16), so the
+    backward reproduces the forward's arithmetic without rematerializing
+    it. Layout: stash_pre (2k, NS*TB, H) = [relu(block_in[0..k)),
+    relu(h1[0..k))]; stash_post (2m+1, TB, H) = [relu(block_in[k..n)),
+    relu(h1[k..n)), relu(x_final)]."""
+    k = min(combine_layer, n_blocks) if ns > 1 else 0
+    if ns > 1:
+        # pooling must happen inside the chain, else x_final has NS*TB
+        # rows and the (TB, d_out) output block cannot hold it (the plain
+        # forward has the same constraint)
+        assert combine_layer < n_blocks
+    return k, n_blocks - k
+
+
+def _relu_stash(a):
+    return jnp.maximum(a, 0.0).astype(jnp.bfloat16)
+
+
+def _fwd_stash_kernel(
+    zx_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out,
+    *out_refs, n_blocks, combine_layer, ns, d_latent,
 ):
-    n_inj = min(combine_layer, n_blocks)
+    """Forward + bf16 relu'd activation stash (the VJP forward).
+
+    Out refs: out, [stash_pre when k > 0], stash_post."""
+    k, m = _stash_layout(n_blocks, combine_layer, ns)
+    if k > 0:
+        out_ref, spre_ref, spost_ref = out_refs
+    else:
+        out_ref, spost_ref = out_refs
+        spre_ref = None
     ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
     zx = zx_ref[0].reshape(ns_ * tb, d)
     w = ResnetFCWeights(
         w_in[:], b_in[:], wz[:], bz[:], w0[:], b0[:], w1[:], b1[:],
         w_out[:], b_out[:],
     )
-
-    # Rematerialize forward, stashing block inputs + hidden pre-activations
-    # in VMEM (never HBM).
-    _, acts = _forward_body(
+    out, acts = _forward_body(
         zx, w, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
         d_latent=d_latent, keep_acts=True,
     )
-    z = acts["z"]  # input dtype (f32 or bf16)
+    for i in range(k):
+        spre_ref[0, i] = _relu_stash(acts["block_in"][i])
+        spre_ref[0, k + i] = _relu_stash(acts["h1"][i])
+    for i in range(m):
+        spost_ref[0, i] = _relu_stash(acts["block_in"][k + i])
+        spost_ref[0, m + i] = _relu_stash(acts["h1"][k + i])
+    spost_ref[0, 2 * m] = _relu_stash(acts["x_final"])
+    out_ref[0] = out
+
+
+def _bwd_kernel(
+    zx_ref, g_ref, *refs, n_blocks, combine_layer, ns, d_latent,
+):
+    """Backward from the bf16 activation stash — NO forward remat.
+
+    Refs: [stash_pre when k > 0], stash_post, 10 weights, dzx, 10 grads.
+    The stashed values are exactly the bf16 operands the forward's MXU
+    matmuls consumed, so weight grads match the remat formulation bit for
+    bit; relu masks are recovered as stash > 0 (equal to the f32 mask
+    except for positives that round to bf16 zero, < 1e-38)."""
+    k, m = _stash_layout(n_blocks, combine_layer, ns)
+    if k > 0:
+        spre_ref, spost_ref = refs[0], refs[1]
+        refs = refs[2:]
+    else:
+        spre_ref, spost_ref = None, refs[0]
+        refs = refs[1:]
+    w = ResnetFCWeights(*[r[:] for r in refs[:10]])
+    (dzx_ref, dw_in, db_in, dwz, dbz, dw0, db0, dw1, db1, dw_out, db_out) = refs[10:]
+
+    n_inj = min(combine_layer, n_blocks)
+    ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
+    zx = zx_ref[0].reshape(ns_ * tb, d)
+    z = zx[:, :d_latent]
+    xin = zx[:, d_latent:]
+
+    def relu_bin(blk):
+        return spre_ref[0, blk] if blk < k else spost_ref[0, blk - k]
+
+    def relu_h1(blk):
+        return spre_ref[0, k + blk] if blk < k else spost_ref[0, m + blk - k]
+
+    def mask(a):  # bf16 compares are unsupported on v5e Mosaic
+        return a.astype(jnp.float32) > 0.0
+
     g_out = g_ref[0]  # (TB, d_out) f32
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -198,21 +274,21 @@ def _bwd_kernel(
         def _():
             ref[idx] = ref[idx] + val
 
-    xf = acts["x_final"]
+    relu_xf = spost_ref[0, 2 * m]
     acc(db_out, 0, jnp.sum(g_out, axis=0))
-    acc(dw_out, slice(None), _dot_g(_relu(xf), g_out))
-    g_x = _dot_t(g_out, w.w_out) * (xf > 0.0)
+    acc(dw_out, slice(None), _dot_g(relu_xf, g_out))
+    g_x = _dot_t(g_out, w.w_out) * mask(relu_xf)
 
     gx_inj = [None] * n_inj  # cotangent at each injection point
     for blk in reversed(range(n_blocks)):
-        x_in = acts["block_in"][blk]
-        h1 = acts["h1"][blk]
+        rx = relu_bin(blk)
+        rh = relu_h1(blk)
         acc(db1, blk, jnp.sum(g_x, axis=0))
-        acc(dw1, blk, _dot_g(_relu(h1), g_x))
-        g_h1 = _dot_t(g_x, w.w1[blk]) * (h1 > 0.0)
+        acc(dw1, blk, _dot_g(rh, g_x))
+        g_h1 = _dot_t(g_x, w.w1[blk]) * mask(rh)
         acc(db0, blk, jnp.sum(g_h1, axis=0))
-        acc(dw0, blk, _dot_g(_relu(x_in), g_h1))
-        g_x = g_x + _dot_t(g_h1, w.w0[blk]) * (x_in > 0.0)
+        acc(dw0, blk, _dot_g(rx, g_h1))
+        g_x = g_x + _dot_t(g_h1, w.w0[blk]) * mask(rx)
         if blk < n_inj:
             gx_inj[blk] = g_x
         if blk == combine_layer and ns > 1:
@@ -232,7 +308,7 @@ def _bwd_kernel(
         g_z = jnp.zeros(z.shape, jnp.float32)
 
     acc(db_in, 0, jnp.sum(g_x, axis=0))
-    acc(dw_in, slice(None), _dot_g(acts["xin"], g_x))
+    acc(dw_in, slice(None), _dot_g(xin, g_x))
     d_xin = _dot_t(g_x, w.w_in)
     dzx = jnp.concatenate([g_z, d_xin], axis=-1).reshape(ns_, tb, d)
     dzx_ref[0] = dzx.astype(dzx_ref.dtype)
@@ -348,10 +424,82 @@ def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpre
     return out, (zx, weights, pad)
 
 
+def _fused_fwd_stash_impl(
+    zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
+):
+    """Forward for the VJP: also writes the bf16 activation stash to HBM
+    so the backward kernel never rematerializes the forward (see
+    _stash_layout). The primal-only path keeps the stash-free kernel —
+    inference never pays the stash writes."""
+    sb, ns_, b, d = zx.shape
+    assert ns_ == ns
+    tb = _pick_tile(b, ns)
+    pad = (-b) % tb
+    if pad:
+        zx = jnp.pad(zx, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bp = b + pad
+    grid = (sb, bp // tb)
+    d_out = weights.w_out.shape[-1]
+    h = weights.w0.shape[-1]
+    k, m = _stash_layout(n_blocks, combine_layer, ns)
+
+    wcast = _cast_weights(weights, min(combine_layer, n_blocks))
+    kern = functools.partial(
+        _fwd_stash_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
+        ns=ns, d_latent=d_latent,
+    )
+    out_shapes = [jax.ShapeDtypeStruct((sb, bp, d_out), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, tb, d_out), lambda s, bb: (s, bb, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    if k > 0:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((sb, 2 * k, ns * bp, h), jnp.bfloat16)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 2 * k, ns * tb, h), lambda s, bb: (s, 0, bb, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_shapes.append(
+        jax.ShapeDtypeStruct((sb, 2 * m + 1, bp, h), jnp.bfloat16)
+    )
+    out_specs.append(
+        pl.BlockSpec(
+            (1, 2 * m + 1, tb, h), lambda s, bb: (s, 0, bb, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + _weight_specs(wcast),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(zx, *wcast)
+    out = res[0]
+    spre = res[1] if k > 0 else None
+    spost = res[-1]
+    if pad:
+        out = out[:, :b]
+    return out, (zx, weights, pad, spre, spost)
+
+
 def _fused_bwd_impl(
     n_blocks, combine_layer, ns, d_latent, interpret, residuals, g
 ):
-    zx_padded, weights, pad = residuals
+    zx_padded, weights, pad, spre, spost = residuals
     sb, ns_, bp, d = zx_padded.shape
     b = bp - pad
     tb = _pick_tile(bp, ns)
@@ -362,6 +510,7 @@ def _fused_bwd_impl(
     g = g.astype(jnp.float32)
 
     n_inj = min(combine_layer, n_blocks)
+    k, m = _stash_layout(n_blocks, combine_layer, ns)
     wcast = _cast_weights(weights, n_inj)
     h = weights.w0.shape[-1]
     d_in = weights.w_in.shape[0]
@@ -397,6 +546,24 @@ def _fused_bwd_impl(
         ),
     ) + tuple(const_spec(o.shape) for o in out_shapes[1:])
 
+    stash_specs = []
+    stash_args = []
+    if k > 0:
+        stash_specs.append(
+            pl.BlockSpec(
+                (1, 2 * k, ns * tb, h), lambda s, bb: (s, 0, bb, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        stash_args.append(spre)
+    stash_specs.append(
+        pl.BlockSpec(
+            (1, 2 * m + 1, tb, h), lambda s, bb: (s, 0, bb, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    stash_args.append(spost)
+
     res = pl.pallas_call(
         kern,
         grid=grid,
@@ -410,12 +577,13 @@ def _fused_bwd_impl(
                 memory_space=pltpu.VMEM,
             ),
         ]
+        + stash_specs
         + _weight_specs(wcast),
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(zx_padded, g, *wcast)
+    )(zx_padded, g, *stash_args, *wcast)
 
     dzx = res[0]
     if pad:
@@ -431,7 +599,7 @@ def _fused_bwd_impl(
 
 
 def _fused_vjp_fwd(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
-    out, residuals = _fused_fwd_impl(
+    out, residuals = _fused_fwd_stash_impl(
         zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
     )
     return out, residuals

@@ -279,13 +279,14 @@ def make_train_step(
 
             if remat:
                 # Optionally rematerialize the field evaluation in the
-                # backward pass. Off by default: the fused Pallas MLP
-                # already keeps its layer activations out of HBM (only the
-                # (M, d_latent+d_in) kernel input is a residual), so at
-                # default batches everything fits comfortably in 16 GB HBM
-                # and remat costs ~30% step time for one extra forward.
-                # Turn on (--remat) for very large ray/sample batches
-                # (SURVEY.md §7 'hard parts').
+                # backward pass. Off by default: the fused Pallas MLP's
+                # residuals are the (M, d_latent+d_in) kernel input plus
+                # the bf16 relu'd-activation stash (~2 bytes/act), which
+                # fit 16 GB HBM at default batches, and remat costs ~30%
+                # step time for one extra forward. Turn on (--remat) for
+                # very large ray/sample batches (SURVEY.md §7 'hard
+                # parts') — under jax.checkpoint the stash is written by
+                # the re-forward inside the backward instead.
                 query_fn = jax.checkpoint(query_fn, static_argnums=(2,))
 
             out = render_rays(
