@@ -502,7 +502,12 @@ def _fused_bwd_impl(
     zx_padded, weights, pad, spre, spost = residuals
     sb, ns_, bp, d = zx_padded.shape
     b = bp - pad
-    tb = _pick_tile(bp, ns)
+    # MUST match the forward's tile choice (from the UNPADDED b): the
+    # stash rows are ordered (tile, view, point) by the forward's tiling,
+    # and the backward reads them back with the same block spec. Picking
+    # from bp here once read tile-8 stashes with tile-16 blocks —
+    # silently mispairing rows in every weight gradient.
+    tb = _pick_tile(b, ns)
     grid = (sb, bp // tb)
     d_out = weights.w_out.shape[-1]
     if pad:

@@ -58,11 +58,19 @@ def test_forward_matches_flax(sb, ns, b, n_blocks, combine_layer):
     )
 
 
-def test_grads_match_flax():
-    sb, ns, b = 2, 2, 16
+@pytest.mark.parametrize(
+    "sb,ns,b,n_blocks,combine_layer",
+    [
+        (2, 2, 16, 5, 3),
+        (1, 1, 16, 3, 1000),  # ns=1: whole stash is post-pool (k=0)
+        (1, 3, 8, 4, 2),      # pre/post stash split at combine_layer=2
+        (1, 2, 13, 5, 3),     # padding path through the stash layout
+    ],
+)
+def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer):
     d_latent, d_in = 96, 42
-    flax_mod = _mk(False, d_latent=d_latent, d_in=d_in)
-    pallas_mod = _mk(True, d_latent=d_latent, d_in=d_in)
+    flax_mod = _mk(False, n_blocks, combine_layer, d_latent, d_in)
+    pallas_mod = _mk(True, n_blocks, combine_layer, d_latent, d_in)
 
     rng = np.random.default_rng(1)
     zx = jnp.asarray(
@@ -85,9 +93,14 @@ def test_grads_match_flax():
     )(params, zx)
 
     np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-2)
-    np.testing.assert_allclose(
-        np.asarray(g_zx_got), np.asarray(g_zx_ref), rtol=5e-2, atol=5e-2
-    )
+    # norm-relative, like the weight grads below: elementwise allclose is
+    # the wrong metric for bf16 noise on near-zero entries (measured 1-3.4%
+    # norm-rel across these configs, identical for the remat and stash
+    # backward formulations)
+    gz_got = np.asarray(g_zx_got, dtype=np.float64)
+    gz_ref = np.asarray(g_zx_ref, dtype=np.float64)
+    gz_rel = np.linalg.norm(gz_got - gz_ref) / (np.linalg.norm(gz_ref) + 1e-12)
+    assert gz_rel < 4e-2, f"d_zx mismatch: {gz_rel}"
 
     flat_ref = jax.tree_util.tree_leaves_with_path(g_params_ref)
     flat_got = {
@@ -99,9 +112,12 @@ def test_grads_match_flax():
         v_ref = np.asarray(v_ref, dtype=np.float64)
         # bf16 matmuls produce elementwise noise on near-cancelling sums;
         # the right metric is the relative error of the whole gradient.
+        # 8%: the tiny-batch configs (b=8/13) have small-norm bias grads
+        # whose relative noise runs 5-7% — identical for the remat and
+        # stash backward formulations; layout bugs show up as order-1.
         denom = np.linalg.norm(v_ref) + 1e-12
         rel = np.linalg.norm(v_got - v_ref) / denom
-        assert rel < 4e-2, f"grad mismatch at {jax.tree_util.keystr(k)}: {rel}"
+        assert rel < 8e-2, f"grad mismatch at {jax.tree_util.keystr(k)}: {rel}"
 
 
 def test_padding_path():
