@@ -42,6 +42,28 @@ def latent_scaling_for(latent_hw: Tuple[int, int]) -> jnp.ndarray:
     return jnp.asarray(s / (s - 1.0) * 2.0)
 
 
+def pyramid_fused_ok(
+    levels, index_interp: str, index_padding: str, allow_fused: bool
+) -> bool:
+    """True when `index_features` will take the fused native-pyramid TPU
+    path for these levels — all conditions are static at trace time, so
+    encode() uses the same predicate to compose the pyramid ONCE up front
+    on fallback paths instead of per lookup."""
+    import jax
+
+    if not (
+        allow_fused
+        and index_interp == "bilinear"
+        and index_padding == "border"
+        and all(l.dtype == jnp.bfloat16 for l in levels)
+        and jax.default_backend() == "tpu"
+    ):
+        return False
+    from pixelnerf_tpu.ops.pyramid_pallas import pyramid_supported
+
+    return pyramid_supported(levels[0].shape[1:3])
+
+
 def compose_pyramid(
     levels, index_interp: str = "bilinear"
 ) -> jnp.ndarray:
@@ -98,20 +120,12 @@ def index_features(
 
     if isinstance(latent, (tuple, list)):
         levels = tuple(latent)
-        fused_ok = (
-            allow_fused
-            and index_interp == "bilinear"
-            and index_padding == "border"
-            and all(l.dtype == jnp.bfloat16 for l in levels)
-            and jax.default_backend() == "tpu"
-        )
-        if fused_ok:
-            from pixelnerf_tpu.ops.pyramid_pallas import (
-                pyramid_index_train, pyramid_supported,
-            )
+        if pyramid_fused_ok(levels, index_interp, index_padding, allow_fused):
+            from pixelnerf_tpu.ops.pyramid_pallas import pyramid_index_train
 
-            if pyramid_supported(levels[0].shape[1:3]):
-                return pyramid_index_train(levels, grid)
+            return pyramid_index_train(levels, grid)
+        # safety-net compose; encode() normally composes once up front
+        # when the fused path is statically unavailable
         latent = compose_pyramid(levels, index_interp)
 
     if (

@@ -128,6 +128,23 @@ class PixelNeRFNet(nn.Module):
         image_size = jnp.asarray([W, H], dtype=jnp.float32)
 
         latent, latent_scaling = self.encoder(images, train=train)
+        if isinstance(latent, tuple):
+            from pixelnerf_tpu.models.encoder import (
+                compose_pyramid, pyramid_fused_ok,
+            )
+
+            # the fused-path predicate is static at trace time: when the
+            # lookup will NOT run the native-pyramid TPU kernel, build the
+            # reference's upsampled concat ONCE here instead of inside
+            # every index_features call (coarse+fine per step; per chunk
+            # in streaming renders)
+            if not pyramid_fused_ok(
+                latent,
+                self.encoder.index_interp,
+                self.encoder.index_padding,
+                self.use_fused_gather,
+            ):
+                latent = compose_pyramid(latent, self.encoder.index_interp)
 
         # invert c2w -> w2c, dropping the bottom row (models.py:112-114)
         rot = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # (B, 3, 3)

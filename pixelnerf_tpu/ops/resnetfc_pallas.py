@@ -386,7 +386,11 @@ def _weight_specs(w: ResnetFCWeights):
     return specs
 
 
-def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
+def _fwd_setup(zx, weights, n_blocks, combine_layer, ns):
+    """Shared forward-call plumbing: tiling, padding, weight cast, input
+    spec. ONE source of truth — the backward reads the stash with the same
+    tile geometry, so fwd variants must never diverge here (a fwd/bwd tile
+    mismatch silently mispairs rows in every weight gradient)."""
     sb, ns_, b, d = zx.shape
     assert ns_ == ns
     tb = _pick_tile(b, ns)
@@ -394,27 +398,32 @@ def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpre
     if pad:
         zx = jnp.pad(zx, ((0, 0), (0, 0), (0, pad), (0, 0)))
     bp = b + pad
-    grid = (sb, bp // tb)
-    d_out = weights.w_out.shape[-1]
-
     wcast = _cast_weights(weights, min(combine_layer, n_blocks))
+    zx_spec = pl.BlockSpec(
+        (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, tb, weights.w_out.shape[-1]),
+        lambda s, bb: (s, bb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return zx, (sb, b, bp, tb, pad), wcast, zx_spec, out_spec
+
+
+def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
+    zx, (sb, b, bp, tb, pad), wcast, zx_spec, out_spec = _fwd_setup(
+        zx, weights, n_blocks, combine_layer, ns
+    )
+    d_out = weights.w_out.shape[-1]
     kern = functools.partial(
         _fwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
         ns=ns, d_latent=d_latent,
     )
     out = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
-        + _weight_specs(wcast),
-        out_specs=pl.BlockSpec(
-            (1, tb, d_out), lambda s, bb: (s, bb, 0), memory_space=pltpu.VMEM
-        ),
+        grid=(sb, bp // tb),
+        in_specs=[zx_spec] + _weight_specs(wcast),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((sb, bp, d_out), jnp.float32),
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -431,29 +440,19 @@ def _fused_fwd_stash_impl(
     so the backward kernel never rematerializes the forward (see
     _stash_layout). The primal-only path keeps the stash-free kernel —
     inference never pays the stash writes."""
-    sb, ns_, b, d = zx.shape
-    assert ns_ == ns
-    tb = _pick_tile(b, ns)
-    pad = (-b) % tb
-    if pad:
-        zx = jnp.pad(zx, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    bp = b + pad
-    grid = (sb, bp // tb)
+    zx, (sb, b, bp, tb, pad), wcast, zx_spec, out_spec = _fwd_setup(
+        zx, weights, n_blocks, combine_layer, ns
+    )
     d_out = weights.w_out.shape[-1]
     h = weights.w0.shape[-1]
     k, m = _stash_layout(n_blocks, combine_layer, ns)
 
-    wcast = _cast_weights(weights, min(combine_layer, n_blocks))
     kern = functools.partial(
         _fwd_stash_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
         ns=ns, d_latent=d_latent,
     )
     out_shapes = [jax.ShapeDtypeStruct((sb, bp, d_out), jnp.float32)]
-    out_specs = [
-        pl.BlockSpec(
-            (1, tb, d_out), lambda s, bb: (s, bb, 0), memory_space=pltpu.VMEM
-        )
-    ]
+    out_specs = [out_spec]
     if k > 0:
         out_shapes.append(
             jax.ShapeDtypeStruct((sb, 2 * k, ns * bp, h), jnp.bfloat16)
@@ -475,14 +474,8 @@ def _fused_fwd_stash_impl(
     )
     res = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
-        + _weight_specs(wcast),
+        grid=(sb, bp // tb),
+        in_specs=[zx_spec] + _weight_specs(wcast),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=_compiler_params(),

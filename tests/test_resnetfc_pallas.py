@@ -59,15 +59,15 @@ def test_forward_matches_flax(sb, ns, b, n_blocks, combine_layer):
 
 
 @pytest.mark.parametrize(
-    "sb,ns,b,n_blocks,combine_layer",
+    "sb,ns,b,n_blocks,combine_layer,tol",
     [
-        (2, 2, 16, 5, 3),
-        (1, 1, 16, 3, 1000),  # ns=1: whole stash is post-pool (k=0)
-        (1, 3, 8, 4, 2),      # pre/post stash split at combine_layer=2
-        (1, 2, 13, 5, 3),     # padding path through the stash layout
+        (2, 2, 16, 5, 3, 4e-2),
+        (1, 1, 16, 3, 1000, 8e-2),  # ns=1: whole stash is post-pool (k=0)
+        (1, 3, 8, 4, 2, 8e-2),      # pre/post stash split at combine_layer=2
+        (1, 2, 13, 5, 3, 8e-2),     # padding path through the stash layout
     ],
 )
-def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer):
+def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer, tol):
     d_latent, d_in = 96, 42
     flax_mod = _mk(False, n_blocks, combine_layer, d_latent, d_in)
     pallas_mod = _mk(True, n_blocks, combine_layer, d_latent, d_in)
@@ -100,7 +100,7 @@ def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer):
     gz_got = np.asarray(g_zx_got, dtype=np.float64)
     gz_ref = np.asarray(g_zx_ref, dtype=np.float64)
     gz_rel = np.linalg.norm(gz_got - gz_ref) / (np.linalg.norm(gz_ref) + 1e-12)
-    assert gz_rel < 4e-2, f"d_zx mismatch: {gz_rel}"
+    assert gz_rel < tol, f"d_zx mismatch: {gz_rel}"
 
     flat_ref = jax.tree_util.tree_leaves_with_path(g_params_ref)
     flat_got = {
@@ -112,12 +112,14 @@ def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer):
         v_ref = np.asarray(v_ref, dtype=np.float64)
         # bf16 matmuls produce elementwise noise on near-cancelling sums;
         # the right metric is the relative error of the whole gradient.
-        # 8%: the tiny-batch configs (b=8/13) have small-norm bias grads
-        # whose relative noise runs 5-7% — identical for the remat and
-        # stash backward formulations; layout bugs show up as order-1.
+        # tol is per-config: the tiny-batch configs (b=8/13) have
+        # small-norm bias grads whose relative noise runs 5-7% —
+        # identical for the remat and stash backward formulations —
+        # while the flagship-shaped config keeps the tight 4% bound;
+        # layout bugs show up as order-1 errors either way.
         denom = np.linalg.norm(v_ref) + 1e-12
         rel = np.linalg.norm(v_got - v_ref) / denom
-        assert rel < 8e-2, f"grad mismatch at {jax.tree_util.keystr(k)}: {rel}"
+        assert rel < tol, f"grad mismatch at {jax.tree_util.keystr(k)}: {rel}"
 
 
 def test_padding_path():
