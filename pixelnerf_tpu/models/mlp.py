@@ -90,8 +90,12 @@ class ImplicitNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, combine_inner_dims: Tuple[int, ...] = (1,)
+        self, x, combine_inner_dims: Tuple[int, ...] = (1,)
     ) -> jnp.ndarray:
+        if isinstance(x, tuple):
+            # (latent, code) tuple form (see ResnetFC.__call__); the IGR
+            # MLP consumes the plain concatenation
+            x = jnp.concatenate(x, axis=-1)
         dims = self._layer_dims()
         num_layers = len(dims)
         act = (

@@ -244,18 +244,28 @@ class PixelNeRFNet(nn.Module):
             if self.d_in == 0:
                 mlp_input = latent
             else:
-                # keep the (huge) gathered-latent part in the compute dtype
-                # (bf16 under model.dtype=bfloat16) — concatenating with an
-                # f32 code would silently upcast it and double HBM traffic
-                mlp_input = jnp.concatenate(
-                    [latent, mlp_input.astype(latent.dtype)], axis=-1
-                )
+                # latent and code stay SEPARATE arrays — the MLPs accept a
+                # (z, x) tuple, so the reference's (M, d_latent+d_in)
+                # concat never materializes (and its cotangent never needs
+                # splitting). Also keeps the (huge) gathered-latent part
+                # in the compute dtype (bf16 under model.dtype=bfloat16) —
+                # a concatenated f32 code would silently upcast it and
+                # double HBM traffic.
+                mlp_input = (latent, mlp_input.astype(latent.dtype))
 
         if self.use_global_encoder:
             gl = enc.global_latent
-            num_repeats = mlp_input.shape[0] // gl.shape[0]
+            z_part = mlp_input[0] if isinstance(mlp_input, tuple) else mlp_input
+            num_repeats = z_part.shape[0] // gl.shape[0]
             gl = repeat_interleave(gl, num_repeats)
-            mlp_input = jnp.concatenate([gl, mlp_input], axis=-1)
+            if isinstance(mlp_input, tuple):
+                # global latent prepends to the LATENT half (models.py:60-68
+                # grows d_latent by the global size)
+                mlp_input = (
+                    jnp.concatenate([gl, mlp_input[0]], axis=-1), mlp_input[1]
+                )
+            else:
+                mlp_input = jnp.concatenate([gl, mlp_input], axis=-1)
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("resnetfc_infer"):

@@ -156,24 +156,32 @@ class ResnetFC(nn.Module):
     @nn.compact
     def __call__(
         self,
-        zx: jnp.ndarray,
+        zx,
         combine_inner_dims: Tuple[int, ...] = (1,),
     ) -> jnp.ndarray:
-        """:param zx (..., d_latent + d_in) — latent first, then code
+        """:param zx (..., d_latent + d_in) — latent first, then code — OR
+            a (z, x) tuple of (..., d_latent) / (..., d_in) arrays. The
+            tuple form is what PixelNeRFNet.query passes: it saves
+            materializing the wide concat on the way in (and splitting its
+            cotangent on the way out — the fused kernel takes the two
+            arrays directly).
         :param combine_inner_dims (NS, B) multi-view reduction dims
         :return (..., d_out) (leading dim shrinks by NS at combine_layer)
         """
-        assert zx.shape[-1] == self.d_latent + self.d_in
-        if self._pallas_ok(zx, combine_inner_dims):
-            return self._call_pallas(zx, combine_inner_dims)
-        act = _activation(self.beta)
-
-        if self.d_latent > 0:
-            z = zx[..., : self.d_latent]
-            x = zx[..., self.d_latent :]
+        if isinstance(zx, tuple):
+            z, x = zx
+            assert z.shape[-1] == self.d_latent and x.shape[-1] == self.d_in
         else:
-            z = None
-            x = zx
+            assert zx.shape[-1] == self.d_latent + self.d_in
+            if self.d_latent > 0:
+                z = zx[..., : self.d_latent]
+                x = zx[..., self.d_latent :]
+            else:
+                z = None
+                x = zx
+        if self._pallas_ok(x, combine_inner_dims):
+            return self._call_pallas(z, x, combine_inner_dims)
+        act = _activation(self.beta)
 
         if self.d_in > 0:
             x = nn.Dense(
@@ -181,7 +189,7 @@ class ResnetFC(nn.Module):
                 dtype=self.dtype, name="lin_in",
             )(x)
         else:
-            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=self.dtype)
+            x = jnp.zeros(x.shape[:-1] + (self.d_hidden,), dtype=self.dtype)
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
@@ -209,7 +217,7 @@ class ResnetFC(nn.Module):
         )(act(x))
         return out
 
-    def _call_pallas(self, zx: jnp.ndarray, combine_inner_dims) -> jnp.ndarray:
+    def _call_pallas(self, z, x, combine_inner_dims) -> jnp.ndarray:
         """Fused-megakernel path (ops/resnetfc_pallas.py). Parameter tree is
         identical to the per-layer path via the _LinParams/_BlockParams
         factories, so the two paths share checkpoints."""
@@ -218,7 +226,7 @@ class ResnetFC(nn.Module):
         )
 
         ns, b = combine_inner_dims
-        m = zx.shape[0]
+        m = x.shape[0]
         assert m % (ns * b) == 0, (m, ns, b)
         sb = m // (ns * b)
         n_inj = min(self.combine_layer, self.n_blocks)
@@ -251,15 +259,17 @@ class ResnetFC(nn.Module):
             b_out=b_out[None, :],
         )
         interpret = jax.default_backend() != "tpu"
-        if zx.dtype not in (jnp.float32, jnp.bfloat16):
-            zx = zx.astype(jnp.float32)
+        if z.dtype not in (jnp.float32, jnp.bfloat16):
+            z = z.astype(jnp.float32)
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            x = x.astype(jnp.float32)
         out = resnetfc_fused(
-            zx.reshape(sb, ns, b, -1),
+            z.reshape(sb, ns, b, -1),
+            x.reshape(sb, ns, b, -1),
             weights,
             self.n_blocks,
             self.combine_layer,
             ns,
-            self.d_latent,
             interpret,
         )
         return out.reshape(sb * b, self.d_out)

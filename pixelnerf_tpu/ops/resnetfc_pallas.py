@@ -117,8 +117,14 @@ def _dot_g(a, b):
     )
 
 
-def _forward_body(zx, w, *, n_blocks, combine_layer, ns, d_latent, keep_acts):
-    """Shared forward math. zx (NS*TB, D) f32 or bf16. Returns (out, acts).
+def _forward_body(z, xin, w, *, n_blocks, combine_layer, ns, keep_acts):
+    """Shared forward math. z (NS*TB, d_latent), xin (NS*TB, d_in), f32 or
+    bf16. Returns (out, acts).
+
+    The latent and the positional code arrive as SEPARATE arrays — the
+    caller never materializes the reference's (M, d_latent+d_in) concat
+    (~6 ms/step to build and ~4 ms/step to split its cotangent at bench
+    shapes), and the VJP returns (dz, dxin) directly.
 
     `w.wz`/`w.bz` arrive PACKED — (d_latent, n_inj*H) / (1, n_inj*H), block
     b in columns [b*H, (b+1)*H) — so all latent injections are ONE wide MXU
@@ -126,12 +132,10 @@ def _forward_body(zx, w, *, n_blocks, combine_layer, ns, d_latent, keep_acts):
     instead of n_inj narrow ones interleaved with it."""
     n_inj = min(combine_layer, n_blocks)
     h = w.w0.shape[-1]
-    z = zx[:, :d_latent]
-    xin = zx[:, d_latent:]
     x = _dot(xin, w.w_in) + w.b_in[0]
     injs = _dot(z, w.wz) + w.bz[0] if n_inj > 0 else None
     acts = {"block_in": [], "h1": []} if keep_acts else None
-    tb = zx.shape[0] // ns
+    tb = xin.shape[0] // ns
 
     for blk in range(n_blocks):
         if blk == combine_layer and ns > 1:
@@ -147,25 +151,27 @@ def _forward_body(zx, w, *, n_blocks, combine_layer, ns, d_latent, keep_acts):
 
     if keep_acts:
         acts["x_final"] = x
-        acts["z"] = z
-        acts["xin"] = xin
     out = _dot(_relu(x), w.w_out) + w.b_out[0]
     return out, acts
 
 
+def _flat(ref):
+    """(1, NS, TB, D) block -> (NS*TB, D)."""
+    ns_, tb, d = ref.shape[1], ref.shape[2], ref.shape[3]
+    return ref[0].reshape(ns_ * tb, d)
+
+
 def _fwd_kernel(
-    zx_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out, out_ref,
-    *, n_blocks, combine_layer, ns, d_latent,
+    z_ref, x_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out, out_ref,
+    *, n_blocks, combine_layer, ns,
 ):
-    ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
-    zx = zx_ref[0].reshape(ns_ * tb, d)
     w = ResnetFCWeights(
         w_in[:], b_in[:], wz[:], bz[:], w0[:], b0[:], w1[:], b1[:],
         w_out[:], b_out[:],
     )
     out, _ = _forward_body(
-        zx, w, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
-        d_latent=d_latent, keep_acts=False,
+        _flat(z_ref), _flat(x_ref), w, n_blocks=n_blocks,
+        combine_layer=combine_layer, ns=ns, keep_acts=False,
     )
     out_ref[0] = out
 
@@ -194,8 +200,8 @@ def _relu_stash(a):
 
 
 def _fwd_stash_kernel(
-    zx_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out,
-    *out_refs, n_blocks, combine_layer, ns, d_latent,
+    z_ref, x_ref, w_in, b_in, wz, bz, w0, b0, w1, b1, w_out, b_out,
+    *out_refs, n_blocks, combine_layer, ns,
 ):
     """Forward + bf16 relu'd activation stash (the VJP forward).
 
@@ -206,15 +212,13 @@ def _fwd_stash_kernel(
     else:
         out_ref, spost_ref = out_refs
         spre_ref = None
-    ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
-    zx = zx_ref[0].reshape(ns_ * tb, d)
     w = ResnetFCWeights(
         w_in[:], b_in[:], wz[:], bz[:], w0[:], b0[:], w1[:], b1[:],
         w_out[:], b_out[:],
     )
     out, acts = _forward_body(
-        zx, w, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
-        d_latent=d_latent, keep_acts=True,
+        _flat(z_ref), _flat(x_ref), w, n_blocks=n_blocks,
+        combine_layer=combine_layer, ns=ns, keep_acts=True,
     )
     for i in range(k):
         spre_ref[0, i] = _relu_stash(acts["block_in"][i])
@@ -227,15 +231,16 @@ def _fwd_stash_kernel(
 
 
 def _bwd_kernel(
-    zx_ref, g_ref, *refs, n_blocks, combine_layer, ns, d_latent,
+    z_ref, x_ref, g_ref, *refs, n_blocks, combine_layer, ns,
 ):
     """Backward from the bf16 activation stash — NO forward remat.
 
-    Refs: [stash_pre when k > 0], stash_post, 10 weights, dzx, 10 grads.
-    The stashed values are exactly the bf16 operands the forward's MXU
-    matmuls consumed, so weight grads match the remat formulation bit for
-    bit; relu masks are recovered as stash > 0 (equal to the f32 mask
-    except for positives that round to bf16 zero, < 1e-38)."""
+    Refs: [stash_pre when k > 0], stash_post, 10 weights, dz, dxin,
+    10 weight grads. The stashed values are exactly the bf16 operands the
+    forward's MXU matmuls consumed, so weight grads match the remat
+    formulation bit for bit; relu masks are recovered as stash > 0 (equal
+    to the f32 mask except for positives that round to bf16 zero,
+    < 1e-38)."""
     k, m = _stash_layout(n_blocks, combine_layer, ns)
     if k > 0:
         spre_ref, spost_ref = refs[0], refs[1]
@@ -244,13 +249,13 @@ def _bwd_kernel(
         spre_ref, spost_ref = None, refs[0]
         refs = refs[1:]
     w = ResnetFCWeights(*[r[:] for r in refs[:10]])
-    (dzx_ref, dw_in, db_in, dwz, dbz, dw0, db0, dw1, db1, dw_out, db_out) = refs[10:]
+    (dz_ref, dxin_ref, dw_in, db_in, dwz, dbz, dw0, db0, dw1, db1,
+     dw_out, db_out) = refs[10:]
 
     n_inj = min(combine_layer, n_blocks)
-    ns_, tb, d = zx_ref.shape[1], zx_ref.shape[2], zx_ref.shape[3]
-    zx = zx_ref[0].reshape(ns_ * tb, d)
-    z = zx[:, :d_latent]
-    xin = zx[:, d_latent:]
+    ns_, tb = z_ref.shape[1], z_ref.shape[2]
+    z = _flat(z_ref)
+    xin = _flat(x_ref)
 
     def relu_bin(blk):
         return spre_ref[0, blk] if blk < k else spost_ref[0, blk - k]
@@ -310,8 +315,8 @@ def _bwd_kernel(
     acc(db_in, 0, jnp.sum(g_x, axis=0))
     acc(dw_in, slice(None), _dot_g(xin, g_x))
     d_xin = _dot_t(g_x, w.w_in)
-    dzx = jnp.concatenate([g_z, d_xin], axis=-1).reshape(ns_, tb, d)
-    dzx_ref[0] = dzx.astype(dzx_ref.dtype)
+    dz_ref[0] = g_z.reshape(ns_, tb, -1).astype(dz_ref.dtype)
+    dxin_ref[0] = d_xin.reshape(ns_, tb, -1).astype(dxin_ref.dtype)
 
 
 def _pick_tile(b: int, ns: int) -> int:
@@ -331,27 +336,30 @@ def _compiler_params():
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
 )
 def resnetfc_fused(
-    zx: jnp.ndarray,
+    z: jnp.ndarray,
+    xin: jnp.ndarray,
     weights: ResnetFCWeights,
     n_blocks: int,
     combine_layer: int,
     ns: int,
-    d_latent: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused ResnetFC on a flattened point batch.
 
-    :param zx (SB, NS, B, d_latent + d_in) f32 — latent first then code,
-        laid out so one tile holds all NS views of the same points (the
-        multi-view pooling is local to a tile)
+    :param z (SB, NS, B, d_latent) conditioning latents
+    :param xin (SB, NS, B, d_in) positional-code features — SEPARATE from
+        z so the (M, d_latent + d_in) concat of the reference never
+        materializes (see _forward_body); both laid out so one tile holds
+        all NS views of the same points (the multi-view pooling is local
+        to a tile)
     :param weights ResnetFCWeights — f32; cast to bf16 on the way in
     :return (SB, B, d_out) f32
     """
     out, _ = _fused_fwd_impl(
-        zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
+        z, xin, weights, n_blocks, combine_layer, ns, interpret
     )
     return out
 
@@ -386,62 +394,68 @@ def _weight_specs(w: ResnetFCWeights):
     return specs
 
 
-def _fwd_setup(zx, weights, n_blocks, combine_layer, ns):
+def _fwd_setup(z, xin, weights, n_blocks, combine_layer, ns):
     """Shared forward-call plumbing: tiling, padding, weight cast, input
-    spec. ONE source of truth — the backward reads the stash with the same
-    tile geometry, so fwd variants must never diverge here (a fwd/bwd tile
-    mismatch silently mispairs rows in every weight gradient)."""
-    sb, ns_, b, d = zx.shape
-    assert ns_ == ns
+    specs. ONE source of truth — the backward reads the stash with the
+    same tile geometry, so fwd variants must never diverge here (a
+    fwd/bwd tile mismatch silently mispairs rows in every weight
+    gradient)."""
+    sb, ns_, b, dl = z.shape
+    assert ns_ == ns and xin.shape[:3] == (sb, ns, b)
     tb = _pick_tile(b, ns)
     pad = (-b) % tb
     if pad:
-        zx = jnp.pad(zx, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        z = jnp.pad(z, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        xin = jnp.pad(xin, ((0, 0), (0, 0), (0, pad), (0, 0)))
     bp = b + pad
     wcast = _cast_weights(weights, min(combine_layer, n_blocks))
-    zx_spec = pl.BlockSpec(
-        (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0), memory_space=pltpu.VMEM
-    )
+
+    def pspec(d):
+        return pl.BlockSpec(
+            (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [pspec(dl), pspec(xin.shape[-1])]
     out_spec = pl.BlockSpec(
         (1, tb, weights.w_out.shape[-1]),
         lambda s, bb: (s, bb, 0),
         memory_space=pltpu.VMEM,
     )
-    return zx, (sb, b, bp, tb, pad), wcast, zx_spec, out_spec
+    return z, xin, (sb, b, bp, tb, pad), wcast, in_specs, out_spec
 
 
-def _fused_fwd_impl(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
-    zx, (sb, b, bp, tb, pad), wcast, zx_spec, out_spec = _fwd_setup(
-        zx, weights, n_blocks, combine_layer, ns
+def _fused_fwd_impl(z, xin, weights, n_blocks, combine_layer, ns, interpret):
+    z, xin, (sb, b, bp, tb, pad), wcast, in_specs, out_spec = _fwd_setup(
+        z, xin, weights, n_blocks, combine_layer, ns
     )
     d_out = weights.w_out.shape[-1]
     kern = functools.partial(
-        _fwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
-        ns=ns, d_latent=d_latent,
+        _fwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
     )
     out = pl.pallas_call(
         kern,
         grid=(sb, bp // tb),
-        in_specs=[zx_spec] + _weight_specs(wcast),
+        in_specs=in_specs + _weight_specs(wcast),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((sb, bp, d_out), jnp.float32),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(zx, *wcast)
+    )(z, xin, *wcast)
     if pad:
         out = out[:, :b]
-    return out, (zx, weights, pad)
+    return out, (z, xin, weights, pad)
 
 
 def _fused_fwd_stash_impl(
-    zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
+    z, xin, weights, n_blocks, combine_layer, ns, interpret
 ):
     """Forward for the VJP: also writes the bf16 activation stash to HBM
     so the backward kernel never rematerializes the forward (see
     _stash_layout). The primal-only path keeps the stash-free kernel —
     inference never pays the stash writes."""
-    zx, (sb, b, bp, tb, pad), wcast, zx_spec, out_spec = _fwd_setup(
-        zx, weights, n_blocks, combine_layer, ns
+    z, xin, (sb, b, bp, tb, pad), wcast, in_specs, out_spec = _fwd_setup(
+        z, xin, weights, n_blocks, combine_layer, ns
     )
     d_out = weights.w_out.shape[-1]
     h = weights.w0.shape[-1]
@@ -449,7 +463,7 @@ def _fused_fwd_stash_impl(
 
     kern = functools.partial(
         _fwd_stash_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
-        ns=ns, d_latent=d_latent,
+        ns=ns,
     )
     out_shapes = [jax.ShapeDtypeStruct((sb, bp, d_out), jnp.float32)]
     out_specs = [out_spec]
@@ -475,25 +489,26 @@ def _fused_fwd_stash_impl(
     res = pl.pallas_call(
         kern,
         grid=(sb, bp // tb),
-        in_specs=[zx_spec] + _weight_specs(wcast),
+        in_specs=in_specs + _weight_specs(wcast),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(zx, *wcast)
+    )(z, xin, *wcast)
     out = res[0]
     spre = res[1] if k > 0 else None
     spost = res[-1]
     if pad:
         out = out[:, :b]
-    return out, (zx, weights, pad, spre, spost)
+    return out, (z, xin, weights, pad, spre, spost)
 
 
 def _fused_bwd_impl(
-    n_blocks, combine_layer, ns, d_latent, interpret, residuals, g
+    n_blocks, combine_layer, ns, interpret, residuals, g
 ):
-    zx_padded, weights, pad, spre, spost = residuals
-    sb, ns_, bp, d = zx_padded.shape
+    z_padded, x_padded, weights, pad, spre, spost = residuals
+    sb, ns_, bp, dl = z_padded.shape
+    di = x_padded.shape[-1]
     b = bp - pad
     # MUST match the forward's tile choice (from the UNPADDED b): the
     # stash rows are ordered (tile, view, point) by the forward's tiling,
@@ -512,10 +527,10 @@ def _fused_bwd_impl(
     wcast = _cast_weights(weights, n_inj)
     h = weights.w0.shape[-1]
     d_in = weights.w_in.shape[0]
+    d_latent = weights.wz.shape[1]
 
     kern = functools.partial(
-        _bwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer,
-        ns=ns, d_latent=d_latent,
+        _bwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
     )
 
     def const_spec(shape):
@@ -524,8 +539,15 @@ def _fused_bwd_impl(
             shape, (lambda s, bb, _nd=nd: (0,) * _nd), memory_space=pltpu.VMEM
         )
 
+    def pspec(d):
+        return pl.BlockSpec(
+            (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     out_shapes = (
-        jax.ShapeDtypeStruct((sb, ns, bp, d), zx_padded.dtype),  # dzx
+        jax.ShapeDtypeStruct((sb, ns, bp, dl), z_padded.dtype),  # dz
+        jax.ShapeDtypeStruct((sb, ns, bp, di), x_padded.dtype),  # dxin
         jax.ShapeDtypeStruct((d_in, h), jnp.float32),  # dw_in
         jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_in
         jax.ShapeDtypeStruct((d_latent, n_inj * h), jnp.float32),  # dwz packed
@@ -537,12 +559,9 @@ def _fused_bwd_impl(
         jax.ShapeDtypeStruct((h, d_out), jnp.float32),  # dw_out
         jax.ShapeDtypeStruct((1, d_out), jnp.float32),  # db_out
     )
-    out_specs = (
-        pl.BlockSpec(
-            (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ) + tuple(const_spec(o.shape) for o in out_shapes[1:])
+    out_specs = (pspec(dl), pspec(di)) + tuple(
+        const_spec(o.shape) for o in out_shapes[2:]
+    )
 
     stash_specs = []
     stash_args = []
@@ -566,10 +585,8 @@ def _fused_bwd_impl(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pspec(dl),
+            pspec(di),
             pl.BlockSpec(
                 (1, tb, d_out), lambda s, bb: (s, bb, 0),
                 memory_space=pltpu.VMEM,
@@ -581,31 +598,32 @@ def _fused_bwd_impl(
         out_shape=out_shapes,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(zx_padded, g, *stash_args, *wcast)
+    )(z_padded, x_padded, g, *stash_args, *wcast)
 
-    dzx = res[0]
+    dz, dxin = res[0], res[1]
     if pad:
-        dzx = dzx[:, :, :b]
+        dz = dz[:, :, :b]
+        dxin = dxin[:, :, :b]
     # unpack the packed injection grads back to the external (n_inj, dl, H)
-    dwz = jnp.swapaxes(res[3].reshape(d_latent, n_inj, h), 0, 1)
-    dbz = res[4].reshape(n_inj, h)
+    dwz = jnp.swapaxes(res[4].reshape(d_latent, n_inj, h), 0, 1)
+    dbz = res[5].reshape(n_inj, h)
     dw = ResnetFCWeights(
-        w_in=res[1], b_in=res[2], wz=dwz, bz=dbz, w0=res[5], b0=res[6],
-        w1=res[7], b1=res[8], w_out=res[9], b_out=res[10],
+        w_in=res[2], b_in=res[3], wz=dwz, bz=dbz, w0=res[6], b0=res[7],
+        w1=res[8], b1=res[9], w_out=res[10], b_out=res[11],
     )
-    return dzx, dw
+    return dz, dxin, dw
 
 
-def _fused_vjp_fwd(zx, weights, n_blocks, combine_layer, ns, d_latent, interpret):
+def _fused_vjp_fwd(z, xin, weights, n_blocks, combine_layer, ns, interpret):
     out, residuals = _fused_fwd_stash_impl(
-        zx, weights, n_blocks, combine_layer, ns, d_latent, interpret
+        z, xin, weights, n_blocks, combine_layer, ns, interpret
     )
     return out, residuals
 
 
-def _fused_vjp_bwd(n_blocks, combine_layer, ns, d_latent, interpret, residuals, g):
+def _fused_vjp_bwd(n_blocks, combine_layer, ns, interpret, residuals, g):
     return _fused_bwd_impl(
-        n_blocks, combine_layer, ns, d_latent, interpret, residuals, g
+        n_blocks, combine_layer, ns, interpret, residuals, g
     )
 
 

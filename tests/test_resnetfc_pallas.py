@@ -122,6 +122,26 @@ def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer, tol):
         assert rel < tol, f"grad mismatch at {jax.tree_util.keystr(k)}: {rel}"
 
 
+def test_tuple_input_matches_concat():
+    """(z, x) tuple form == concatenated zx on BOTH paths (the tuple is
+    what PixelNeRFNet.query passes to avoid materializing the concat)."""
+    sb, ns, b = 1, 2, 16
+    d_latent, d_in = 96, 42
+    rng = np.random.default_rng(3)
+    zx = jnp.asarray(
+        rng.normal(size=(sb * ns * b, d_latent + d_in)).astype(np.float32)
+    )
+    z, x = zx[:, :d_latent], zx[:, d_latent:]
+    for use_pallas in (False, True):
+        mod = _mk(use_pallas, d_latent=d_latent, d_in=d_in)
+        params = mod.init(jax.random.PRNGKey(0), zx, (ns, b))
+        a = mod.apply(params, zx, (ns, b))
+        t = mod.apply(params, (z, x), (ns, b))
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(a), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_padding_path():
     """B not divisible by the tile size exercises the pad/slice path."""
     sb, ns, b = 1, 2, 13
