@@ -162,16 +162,22 @@ def _gather_kernel(uv_ref, *refs, hws, fine_hw):
     out_ref[0] = jnp.concatenate(vals, axis=-1).astype(out_ref.dtype)
 
 
-def _scatter_kernel(uv_ref, *refs, hws, fine_hw):
+def _scatter_kernel(uv_ref, dz_ref, *refs, hws, fine_hw, csizes):
     nl = len(hws)
-    dz_refs = refs[:nl]
-    e_refs = refs[nl : 2 * nl]
-    out_refs = refs[2 * nl :]
+    e_refs = refs[:nl]
+    out_refs = refs[nl:]
     uv = uv_ref[0]
+    dz_full = dz_ref[0]  # (TN, sum C_l) in matmul dtype
     x, y = _fine_coords(uv, *fine_hw)
     first = pl.program_id(1) == 0
-    for dz_ref, e_ref, out_ref, (hn, wn) in zip(dz_refs, e_refs, out_refs, hws):
-        dz = dz_ref[0]  # (TN, C_l) in matmul dtype
+    c0 = 0
+    for e_ref, out_ref, (hn, wn), cs in zip(e_refs, out_refs, hws, csizes):
+        # static lane slice of the level's channel block — cheaper than
+        # splitting dz into per-level arrays outside the kernel (XLA
+        # materializes each slice as a full copy, ~4 ms/step at bench
+        # shapes; Mosaic handles 64-offset bf16 lane slices fine)
+        dz = dz_full[:, c0 : c0 + cs]
+        c0 += cs
         oh = _level_onehot(
             x, y, hn, wn, *fine_hw, e_row=e_ref[:], out_dtype=dz.dtype
         )
@@ -264,63 +270,67 @@ def pyramid_gather(
 
 def pyramid_scatter_add(
     uv: jnp.ndarray,
-    dzs: Sequence[jnp.ndarray],
+    dz: jnp.ndarray,
+    csizes: Sequence[int],
     hws: Sequence[Tuple[int, int]],
     fine_hw: Tuple[int, int],
     interpret: bool = False,
 ):
-    """Scatter per-level cotangent slices back onto the native grids.
+    """Scatter the concatenated cotangent back onto the native grids.
 
     :param uv (B, N, 2) normalized fine-grid coords
-    :param dzs per-level cotangents [(B, N, C_l)] (matmul dtype — cast to
-        bf16 by the VJP for bf16 features, matching the forward's rounding)
+    :param dz (B, N, sum C_l) cotangent of the concatenated gather output
+        in the matmul dtype (the VJP casts to bf16 for bf16 features,
+        matching the forward's rounding); the kernel lane-slices each
+        level's channel block — no per-level splits materialize
+    :param csizes per-level channel counts, concat order
     :return [d_feat_l (B, H_l, W_l, C_l) f32]
     """
-    dzs = tuple(dzs)
+    csizes = tuple(int(c) for c in csizes)
     hws = tuple(tuple(h) for h in hws)
     B, N, _ = uv.shape
     pad = (-N) % _TN
     if pad:
         uv = jnp.pad(uv, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
-        dzs = tuple(jnp.pad(dz, ((0, 0), (0, pad), (0, 0))) for dz in dzs)
+        dz = jnp.pad(dz, ((0, 0), (0, pad), (0, 0)))
     npad = N + pad
+    csum = dz.shape[-1]
+    assert csum == sum(csizes)
 
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((B, dz.shape[-1], h * w), jnp.float32)
-        for dz, (h, w) in zip(dzs, hws)
+        jax.ShapeDtypeStruct((B, c, h * w), jnp.float32)
+        for c, (h, w) in zip(csizes, hws)
     )
     outs = pl.pallas_call(
-        functools.partial(_scatter_kernel, hws=hws, fine_hw=tuple(fine_hw)),
+        functools.partial(
+            _scatter_kernel, hws=hws, fine_hw=tuple(fine_hw), csizes=csizes
+        ),
         grid=(B, npad // _TN),
         in_specs=[
             pl.BlockSpec(
                 (1, _TN, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
-            )
-        ]
-        + [
+            ),
             pl.BlockSpec(
-                (1, _TN, dz.shape[-1]),
-                lambda b, t: (b, t, 0),
+                (1, _TN, csum), lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
-            )
-            for dz in dzs
+            ),
         ]
         + [_const_spec((h, h * w)) for (h, w) in hws],
         out_specs=tuple(
             pl.BlockSpec(
-                (1, dz.shape[-1], h * w),
+                (1, c, h * w),
                 lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-            for dz, (h, w) in zip(dzs, hws)
+            for c, (h, w) in zip(csizes, hws)
         ),
         out_shape=out_shapes,
         compiler_params=_params(),
         interpret=interpret,
     )(
         uv.astype(jnp.float32),
-        *dzs,
-        *[_row_expander(h, w, dzs[0].dtype) for (h, w) in hws],
+        dz,
+        *[_row_expander(h, w, dz.dtype) for (h, w) in hws],
     )
     return [
         jnp.swapaxes(o, 1, 2).reshape(o.shape[0], h, w, o.shape[1])
@@ -350,16 +360,14 @@ def _pit_fwd(feats, uv, interpret):
 def _pit_bwd(interpret, residuals, g):
     uv, tokens = residuals
     hws = [(t.shape[0], t.shape[1]) for t in tokens]
-    # split the cotangent into per-level column blocks; the scatter matmul
-    # runs in the feature dtype (bf16 features -> bf16 one-hot x bf16 dz,
-    # f32 accumulation) exactly like the forward
-    dzs = []
-    c0 = 0
-    for tok in tokens:
-        c = tok.shape[2]
-        dzs.append(g[..., c0 : c0 + c].astype(tok.dtype))
-        c0 += c
-    d_feats = pyramid_scatter_add(uv, dzs, hws, hws[0], interpret=interpret)
+    csizes = [t.shape[2] for t in tokens]
+    # one cast to the matmul dtype (bf16 features -> bf16 one-hot x bf16
+    # dz, f32 accumulation, exactly like the forward); the kernel
+    # lane-slices the per-level channel blocks
+    d_feats = pyramid_scatter_add(
+        uv, g.astype(tokens[0].dtype), csizes, hws, hws[0],
+        interpret=interpret,
+    )
     d_feats = tuple(
         d.astype(tok.dtype) for d, tok in zip(d_feats, tokens)
     )

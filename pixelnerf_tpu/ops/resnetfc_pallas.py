@@ -320,9 +320,14 @@ def _bwd_kernel(
 
 
 def _pick_tile(b: int, ns: int) -> int:
-    """Point-tile size: big enough to fill the MXU, small enough for VMEM."""
-    for tb in (512, 256, 128, 64, 32, 16, 8):
-        if b % tb == 0 and ns * tb <= 1024:
+    """Point-tile size: big enough to fill the MXU, small enough for VMEM.
+
+    NS*TB <= 2048: with the backward reading activations from the HBM
+    stash (not holding them in VMEM like the old remat kernel, whose
+    2048-row tiles spilled catastrophically), 2048-row tiles fit and
+    halve the weight-grad accumulator read-modify-write traffic."""
+    for tb in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if b % tb == 0 and ns * tb <= 2048:
             return tb
     return min(b, 8)
 
