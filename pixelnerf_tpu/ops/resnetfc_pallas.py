@@ -399,6 +399,15 @@ def _weight_specs(w: ResnetFCWeights):
     return specs
 
 
+def _point_spec(ns: int, tb: int, d: int) -> pl.BlockSpec:
+    """(1, NS, TB, d) point-tile block over a (SB, NS, Bp, d) array. The
+    SINGLE spec builder for forward inputs and backward inputs/outputs —
+    the stash layout depends on fwd and bwd agreeing on it exactly."""
+    return pl.BlockSpec(
+        (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _fwd_setup(z, xin, weights, n_blocks, combine_layer, ns):
     """Shared forward-call plumbing: tiling, padding, weight cast, input
     specs. ONE source of truth — the backward reads the stash with the
@@ -415,13 +424,7 @@ def _fwd_setup(z, xin, weights, n_blocks, combine_layer, ns):
     bp = b + pad
     wcast = _cast_weights(weights, min(combine_layer, n_blocks))
 
-    def pspec(d):
-        return pl.BlockSpec(
-            (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = [pspec(dl), pspec(xin.shape[-1])]
+    in_specs = [_point_spec(ns, tb, dl), _point_spec(ns, tb, xin.shape[-1])]
     out_spec = pl.BlockSpec(
         (1, tb, weights.w_out.shape[-1]),
         lambda s, bb: (s, bb, 0),
@@ -544,12 +547,6 @@ def _fused_bwd_impl(
             shape, (lambda s, bb, _nd=nd: (0,) * _nd), memory_space=pltpu.VMEM
         )
 
-    def pspec(d):
-        return pl.BlockSpec(
-            (1, ns, tb, d), lambda s, bb: (s, 0, bb, 0),
-            memory_space=pltpu.VMEM,
-        )
-
     out_shapes = (
         jax.ShapeDtypeStruct((sb, ns, bp, dl), z_padded.dtype),  # dz
         jax.ShapeDtypeStruct((sb, ns, bp, di), x_padded.dtype),  # dxin
@@ -564,7 +561,7 @@ def _fused_bwd_impl(
         jax.ShapeDtypeStruct((h, d_out), jnp.float32),  # dw_out
         jax.ShapeDtypeStruct((1, d_out), jnp.float32),  # db_out
     )
-    out_specs = (pspec(dl), pspec(di)) + tuple(
+    out_specs = (_point_spec(ns, tb, dl), _point_spec(ns, tb, di)) + tuple(
         const_spec(o.shape) for o in out_shapes[2:]
     )
 
@@ -590,8 +587,8 @@ def _fused_bwd_impl(
         kern,
         grid=grid,
         in_specs=[
-            pspec(dl),
-            pspec(di),
+            _point_spec(ns, tb, dl),
+            _point_spec(ns, tb, di),
             pl.BlockSpec(
                 (1, tb, d_out), lambda s, bb: (s, bb, 0),
                 memory_space=pltpu.VMEM,

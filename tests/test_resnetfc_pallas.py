@@ -141,6 +141,27 @@ def test_tuple_input_matches_concat():
             np.asarray(t), np.asarray(a), rtol=1e-6, atol=1e-6
         )
 
+        # the tuple form's VJP returns (dz, dxin) directly — check the
+        # cotangent routing against the concat form's split (this is the
+        # path PixelNeRFNet.query trains through)
+        loss_c = lambda p, v: jnp.sum(jnp.sin(mod.apply(p, v, (ns, b))))
+        gp_c, gzx = jax.grad(loss_c, argnums=(0, 1))(params, zx)
+        gp_t, (gz, gx) = jax.grad(loss_c, argnums=(0, 1))(params, (z, x))
+        np.testing.assert_allclose(
+            np.asarray(gz), np.asarray(gzx)[:, :d_latent], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gzx)[:, d_latent:], rtol=1e-5, atol=1e-6
+        )
+        for (k1, va), (_, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(gp_t),
+            jax.tree_util.tree_leaves_with_path(gp_c),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6,
+                err_msg=jax.tree_util.keystr(k1),
+            )
+
 
 def test_padding_path():
     """B not divisible by the tile size exercises the pad/slice path."""
