@@ -231,7 +231,7 @@ def _fwd_stash_kernel(
 
 
 def _bwd_kernel(
-    z_ref, x_ref, g_ref, *refs, n_blocks, combine_layer, ns,
+    z_ref, x_ref, g_ref, *refs, n_blocks, combine_layer, ns, sub,
 ):
     """Backward from the bf16 activation stash — NO forward remat.
 
@@ -240,7 +240,14 @@ def _bwd_kernel(
     forward's MXU matmuls consumed, so weight grads match the remat
     formulation bit for bit; relu masks are recovered as stash > 0 (equal
     to the f32 mask except for positives that round to bf16 zero,
-    < 1e-38)."""
+    < 1e-38).
+
+    One grid cell processes `sub` consecutive FORWARD tiles (the stash
+    row layout is the forward's (tile, view, point) order, so sub-tiles
+    are sliced, never re-tiled): the weight-grad contributions of the
+    sub-tiles are summed in registers and the VMEM accumulators are
+    read-modify-written once per cell — the forward keeps its own
+    (smaller) tile for finer stash-write pipelining."""
     k, m = _stash_layout(n_blocks, combine_layer, ns)
     if k > 0:
         spre_ref, spost_ref = refs[0], refs[1]
@@ -253,83 +260,108 @@ def _bwd_kernel(
      dw_out, db_out) = refs[10:]
 
     n_inj = min(combine_layer, n_blocks)
-    ns_, tb = z_ref.shape[1], z_ref.shape[2]
-    z = _flat(z_ref)
-    xin = _flat(x_ref)
-
-    def relu_bin(blk):
-        return spre_ref[0, blk] if blk < k else spost_ref[0, blk - k]
-
-    def relu_h1(blk):
-        return spre_ref[0, k + blk] if blk < k else spost_ref[0, m + blk - k]
+    stb = z_ref.shape[2]  # sub * tb
+    tb = stb // sub
 
     def mask(a):  # bf16 compares are unsupported on v5e Mosaic
         return a.astype(jnp.float32) > 0.0
 
-    g_out = g_ref[0]  # (TB, d_out) f32
-
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    pending = {}
 
-    def acc(ref, idx, val):
+    def add(name, ref, idx, val):
+        if name in pending:
+            pending[name] = (ref, idx, pending[name][2] + val)
+        else:
+            pending[name] = (ref, idx, val)
+
+    for i in range(sub):
+        z = z_ref[0][:, i * tb : (i + 1) * tb, :].reshape(ns * tb, -1)
+        xin = x_ref[0][:, i * tb : (i + 1) * tb, :].reshape(ns * tb, -1)
+        g_out = g_ref[0][i * tb : (i + 1) * tb]  # (TB, d_out) f32
+        pre_rows = slice(i * ns * tb, (i + 1) * ns * tb)
+        post_rows = slice(i * tb, (i + 1) * tb)
+
+        def relu_bin(blk):
+            if blk < k:
+                return spre_ref[0, blk, pre_rows]
+            return spost_ref[0, blk - k, post_rows]
+
+        def relu_h1(blk):
+            if blk < k:
+                return spre_ref[0, k + blk, pre_rows]
+            return spost_ref[0, m + blk - k, post_rows]
+
+        relu_xf = spost_ref[0, 2 * m, post_rows]
+        add("db_out", db_out, 0, jnp.sum(g_out, axis=0))
+        add("dw_out", dw_out, slice(None), _dot_g(relu_xf, g_out))
+        g_x = _dot_t(g_out, w.w_out) * mask(relu_xf)
+
+        gx_inj = [None] * n_inj  # cotangent at each injection point
+        for blk in reversed(range(n_blocks)):
+            rx = relu_bin(blk)
+            rh = relu_h1(blk)
+            add(f"db1_{blk}", db1, blk, jnp.sum(g_x, axis=0))
+            add(f"dw1_{blk}", dw1, blk, _dot_g(rh, g_x))
+            g_h1 = _dot_t(g_x, w.w1[blk]) * mask(rh)
+            add(f"db0_{blk}", db0, blk, jnp.sum(g_h1, axis=0))
+            add(f"dw0_{blk}", dw0, blk, _dot_g(rx, g_h1))
+            g_x = g_x + _dot_t(g_h1, w.w0[blk]) * mask(rx)
+            if blk < n_inj:
+                gx_inj[blk] = g_x
+            if blk == combine_layer and ns > 1:
+                # un-pool the multi-view average: broadcast / NS
+                g_x = jnp.broadcast_to(
+                    g_x[None] / float(ns), (ns,) + g_x.shape
+                ).reshape(ns * tb, -1)
+
+        if n_inj > 0:
+            # mirrored to the packed forward injection: one wide matmul
+            # each for the latent grad and the packed weight/bias grads
+            gx_cat = jnp.concatenate(gx_inj, axis=-1)  # (M, n_inj*H)
+            add("dbz", dbz, 0, jnp.sum(gx_cat, axis=0))
+            add("dwz", dwz, slice(None), _dot_g(z, gx_cat))
+            g_z = _dot_t(gx_cat, w.wz)  # (M, d_latent) f32
+        else:
+            g_z = jnp.zeros(z.shape, jnp.float32)
+
+        add("db_in", db_in, 0, jnp.sum(g_x, axis=0))
+        add("dw_in", dw_in, slice(None), _dot_g(xin, g_x))
+        d_xin = _dot_t(g_x, w.w_in)
+        dz_ref[0, :, i * tb : (i + 1) * tb, :] = (
+            g_z.reshape(ns, tb, -1).astype(dz_ref.dtype)
+        )
+        dxin_ref[0, :, i * tb : (i + 1) * tb, :] = (
+            d_xin.reshape(ns, tb, -1).astype(dxin_ref.dtype)
+        )
+
+    for ref, idx, val in pending.values():
         @pl.when(first)
-        def _():
+        def _(ref=ref, idx=idx, val=val):
             ref[idx] = val
 
         @pl.when(jnp.logical_not(first))
-        def _():
+        def _(ref=ref, idx=idx, val=val):
             ref[idx] = ref[idx] + val
-
-    relu_xf = spost_ref[0, 2 * m]
-    acc(db_out, 0, jnp.sum(g_out, axis=0))
-    acc(dw_out, slice(None), _dot_g(relu_xf, g_out))
-    g_x = _dot_t(g_out, w.w_out) * mask(relu_xf)
-
-    gx_inj = [None] * n_inj  # cotangent at each injection point
-    for blk in reversed(range(n_blocks)):
-        rx = relu_bin(blk)
-        rh = relu_h1(blk)
-        acc(db1, blk, jnp.sum(g_x, axis=0))
-        acc(dw1, blk, _dot_g(rh, g_x))
-        g_h1 = _dot_t(g_x, w.w1[blk]) * mask(rh)
-        acc(db0, blk, jnp.sum(g_h1, axis=0))
-        acc(dw0, blk, _dot_g(rx, g_h1))
-        g_x = g_x + _dot_t(g_h1, w.w0[blk]) * mask(rx)
-        if blk < n_inj:
-            gx_inj[blk] = g_x
-        if blk == combine_layer and ns > 1:
-            # un-pool the multi-view average: broadcast / NS
-            g_x = jnp.broadcast_to(
-                g_x[None] / float(ns), (ns,) + g_x.shape
-            ).reshape(ns * tb, -1)
-
-    if n_inj > 0:
-        # mirrored to the packed forward injection: one wide matmul each
-        # for the latent grad and the packed weight/bias grads
-        gx_cat = jnp.concatenate(gx_inj, axis=-1)  # (M, n_inj*H)
-        acc(dbz, 0, jnp.sum(gx_cat, axis=0))
-        acc(dwz, slice(None), _dot_g(z, gx_cat))
-        g_z = _dot_t(gx_cat, w.wz)  # (M, d_latent) f32
-    else:
-        g_z = jnp.zeros(z.shape, jnp.float32)
-
-    acc(db_in, 0, jnp.sum(g_x, axis=0))
-    acc(dw_in, slice(None), _dot_g(xin, g_x))
-    d_xin = _dot_t(g_x, w.w_in)
-    dz_ref[0] = g_z.reshape(ns_, tb, -1).astype(dz_ref.dtype)
-    dxin_ref[0] = d_xin.reshape(ns_, tb, -1).astype(dxin_ref.dtype)
 
 
 def _pick_tile(b: int, ns: int) -> int:
-    """Point-tile size: big enough to fill the MXU, small enough for VMEM.
-
-    NS*TB <= 2048: with the backward reading activations from the HBM
-    stash (not holding them in VMEM like the old remat kernel, whose
-    2048-row tiles spilled catastrophically), 2048-row tiles fit and
-    halve the weight-grad accumulator read-modify-write traffic."""
-    for tb in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if b % tb == 0 and ns * tb <= 2048:
+    """FORWARD point-tile size: big enough to fill the MXU, small enough
+    for VMEM and fine-grained stash-write pipelining (2048-row forward
+    tiles measured ~20% SLOWER forward — coarser output overlap). The
+    backward gets its accumulator-traffic saving by processing
+    _bwd_subtiles forward tiles per grid cell instead."""
+    for tb in (512, 256, 128, 64, 32, 16, 8):
+        if b % tb == 0 and ns * tb <= 1024:
             return tb
     return min(b, 8)
+
+
+def _bwd_subtiles(ntiles: int) -> int:
+    """Forward tiles per backward grid cell: the backward sums sub-tile
+    weight-grad contributions in registers and touches the VMEM
+    accumulators once per cell (measured +2.5% step at 2; 4 risks VMEM)."""
+    return 2 if ntiles % 2 == 0 else 1
 
 
 def _compiler_params():
@@ -524,7 +556,9 @@ def _fused_bwd_impl(
     # from bp here once read tile-8 stashes with tile-16 blocks —
     # silently mispairing rows in every weight gradient.
     tb = _pick_tile(b, ns)
-    grid = (sb, bp // tb)
+    sub = _bwd_subtiles(bp // tb)
+    stb = sub * tb
+    grid = (sb, bp // stb)
     d_out = weights.w_out.shape[-1]
     if pad:
         g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
@@ -539,6 +573,7 @@ def _fused_bwd_impl(
 
     kern = functools.partial(
         _bwd_kernel, n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
+        sub=sub,
     )
 
     def const_spec(shape):
@@ -561,7 +596,7 @@ def _fused_bwd_impl(
         jax.ShapeDtypeStruct((h, d_out), jnp.float32),  # dw_out
         jax.ShapeDtypeStruct((1, d_out), jnp.float32),  # db_out
     )
-    out_specs = (_point_spec(ns, tb, dl), _point_spec(ns, tb, di)) + tuple(
+    out_specs = (_point_spec(ns, stb, dl), _point_spec(ns, stb, di)) + tuple(
         const_spec(o.shape) for o in out_shapes[2:]
     )
 
@@ -570,14 +605,14 @@ def _fused_bwd_impl(
     if k > 0:
         stash_specs.append(
             pl.BlockSpec(
-                (1, 2 * k, ns * tb, h), lambda s, bb: (s, 0, bb, 0),
+                (1, 2 * k, ns * stb, h), lambda s, bb: (s, 0, bb, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         stash_args.append(spre)
     stash_specs.append(
         pl.BlockSpec(
-            (1, 2 * m + 1, tb, h), lambda s, bb: (s, 0, bb, 0),
+            (1, 2 * m + 1, stb, h), lambda s, bb: (s, 0, bb, 0),
             memory_space=pltpu.VMEM,
         )
     )
@@ -587,10 +622,10 @@ def _fused_bwd_impl(
         kern,
         grid=grid,
         in_specs=[
-            _point_spec(ns, tb, dl),
-            _point_spec(ns, tb, di),
+            _point_spec(ns, stb, dl),
+            _point_spec(ns, stb, di),
             pl.BlockSpec(
-                (1, tb, d_out), lambda s, bb: (s, bb, 0),
+                (1, stb, d_out), lambda s, bb: (s, bb, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]

@@ -65,6 +65,7 @@ def test_forward_matches_flax(sb, ns, b, n_blocks, combine_layer):
         (1, 1, 16, 3, 1000, 8e-2),  # ns=1: whole stash is post-pool (k=0)
         (1, 3, 8, 4, 2, 8e-2),      # pre/post stash split at combine_layer=2
         (1, 2, 13, 5, 3, 8e-2),     # padding path through the stash layout
+        (1, 2, 24, 5, 3, 8e-2),     # odd tile count: bwd sub-tiling off
     ],
 )
 def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer, tol):
