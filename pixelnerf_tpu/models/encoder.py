@@ -27,7 +27,11 @@ import numpy as np
 
 from pixelnerf_tpu.models.resnet import ResNetTrunk, _conv_init, _make_norm
 from pixelnerf_tpu.ops.grid_sample import grid_sample_2d
-from pixelnerf_tpu.ops.interpolate import resize_area, resize_bilinear
+from pixelnerf_tpu.ops.interpolate import (
+    resize_area,
+    resize_bilinear,
+    resize_nearest,
+)
 
 __all__ = ["SpatialEncoder", "ImageEncoder", "ConvEncoder", "index_features"]
 
@@ -43,18 +47,26 @@ def latent_scaling_for(latent_hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def pyramid_fused_ok(
-    levels, index_interp: str, index_padding: str, allow_fused: bool
+    levels,
+    index_interp: str,
+    index_padding: str,
+    allow_fused: bool,
+    upsample_interp: str = "bilinear",
 ) -> bool:
     """True when `index_features` will take the fused native-pyramid TPU
     path for these levels — all conditions are static at trace time, so
     encode() uses the same predicate to compose the pyramid ONCE up front
-    on fallback paths instead of per lookup."""
+    on fallback paths instead of per lookup. The fused path's composed-
+    weight identity (upsample-then-bilerp == per-level 3-tap sampling)
+    holds only for bilinear upsampling, so any other `upsample_interp`
+    composes the pyramid exactly instead."""
     import jax
 
     if not (
         allow_fused
         and index_interp == "bilinear"
         and index_padding == "border"
+        and upsample_interp == "bilinear"
         and all(l.dtype == jnp.bfloat16 for l in levels)
         and jax.default_backend() == "tpu"
     ):
@@ -65,19 +77,23 @@ def pyramid_fused_ok(
 
 
 def compose_pyramid(
-    levels, index_interp: str = "bilinear"
+    levels, upsample_interp: str = "bilinear", index_interp: str = "bilinear"
 ) -> jnp.ndarray:
     """Materialize the reference's upsampled feature pyramid from native
-    levels: every level bilinearly resized (align_corners quirk as in
-    reference encoder.py:147-160 — the `"nearest "` comparison including
-    its trailing space is the reference's) to level 0's resolution, then
-    channel-concatenated."""
-    align = None if index_interp == "nearest " else True
+    levels: every level resized with `upsample_interp` (reference
+    encoder.py:151-160 F.interpolate(mode=self.upsample_interp); the
+    align_corners quirk keys on index_interp == `"nearest "` INCLUDING the
+    trailing space — that comparison is the reference's) to level 0's
+    resolution, then channel-concatenated."""
     target_hw = levels[0].shape[1:3]
-    ups = [
-        resize_bilinear(l, target_hw, align_corners=bool(align))
-        for l in levels
-    ]
+    if upsample_interp.startswith("nearest"):
+        ups = [resize_nearest(l, target_hw) for l in levels]
+    else:
+        align = None if index_interp == "nearest " else True
+        ups = [
+            resize_bilinear(l, target_hw, align_corners=bool(align))
+            for l in levels
+        ]
     return jnp.concatenate(ups, axis=-1)
 
 
@@ -89,6 +105,7 @@ def index_features(
     index_interp: str = "bilinear",
     index_padding: str = "border",
     allow_fused: bool = True,
+    upsample_interp: str = "bilinear",
 ) -> jnp.ndarray:
     """Pixel-aligned feature lookup.
 
@@ -120,13 +137,15 @@ def index_features(
 
     if isinstance(latent, (tuple, list)):
         levels = tuple(latent)
-        if pyramid_fused_ok(levels, index_interp, index_padding, allow_fused):
+        if pyramid_fused_ok(
+            levels, index_interp, index_padding, allow_fused, upsample_interp
+        ):
             from pixelnerf_tpu.ops.pyramid_pallas import pyramid_index_train
 
             return pyramid_index_train(levels, grid)
         # safety-net compose; encode() normally composes once up front
         # when the fused path is statically unavailable
-        latent = compose_pyramid(levels, index_interp)
+        latent = compose_pyramid(levels, upsample_interp, index_interp)
 
     if (
         allow_fused

@@ -143,8 +143,13 @@ class PixelNeRFNet(nn.Module):
                 self.encoder.index_interp,
                 self.encoder.index_padding,
                 self.use_fused_gather,
+                self.encoder.upsample_interp,
             ):
-                latent = compose_pyramid(latent, self.encoder.index_interp)
+                latent = compose_pyramid(
+                    latent,
+                    self.encoder.upsample_interp,
+                    self.encoder.index_interp,
+                )
 
         # invert c2w -> w2c, dropping the bottom row (models.py:112-114)
         rot = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # (B, 3, 3)
@@ -236,6 +241,7 @@ class PixelNeRFNet(nn.Module):
                     index_interp=self.encoder.index_interp,
                     index_padding=self.encoder.index_padding,
                     allow_fused=self.use_fused_gather,
+                    upsample_interp=self.encoder.upsample_interp,
                 )  # (SB*NS, B, C)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)

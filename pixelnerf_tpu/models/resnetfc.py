@@ -140,14 +140,13 @@ class ResnetFC(nn.Module):
 
         if self.use_pallas is False:
             return False
-        if not supported_config(
-            self.beta, self.use_spade, self.combine_type, self.d_latent, self.d_in
-        ):
-            return False
         if zx.ndim != 2 or len(combine_inner_dims) != 2:
             return False
-        ns = combine_inner_dims[0]
-        if ns > 1 and self.combine_layer >= self.n_blocks:
+        if not supported_config(
+            self.beta, self.use_spade, self.combine_type, self.d_latent,
+            self.d_in, combine_layer=self.combine_layer,
+            n_blocks=self.n_blocks, ns=combine_inner_dims[0],
+        ):
             return False
         if self.use_pallas == "auto":
             return jax.default_backend() == "tpu"

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resize_bilinear", "resize_area", "interp_matrix"]
+__all__ = ["resize_bilinear", "resize_area", "resize_nearest", "interp_matrix"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -62,6 +62,30 @@ def resize_bilinear(
     Mw = interp_matrix(Wo, W, align_corners).astype(x.dtype)
     # y[..., i, j, c] = sum_{h,w} Mh[i,h] Mw[j,w] x[..., h, w, c]
     # HIGHEST precision: interpolation weights must not be bf16-rounded.
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("ih,...hwc->...iwc", Mh, x, precision=hp)
+    x = jnp.einsum("jw,...iwc->...ijc", Mw, x, precision=hp)
+    return x
+
+
+@functools.lru_cache(maxsize=64)
+def _nearest_matrix_np(out_size: int, in_size: int) -> np.ndarray:
+    """1-D selection matrix matching torch F.interpolate(mode='nearest'):
+    output index i reads input floor(i * in/out)."""
+    M = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        M[i, (i * in_size) // out_size] = 1.0
+    return M
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize of (..., H, W, C), matching torch mode='nearest'."""
+    H, W = x.shape[-3], x.shape[-2]
+    Ho, Wo = out_hw
+    if (H, W) == (Ho, Wo):
+        return x
+    Mh = jnp.asarray(_nearest_matrix_np(Ho, H)).astype(x.dtype)
+    Mw = jnp.asarray(_nearest_matrix_np(Wo, W)).astype(x.dtype)
     hp = jax.lax.Precision.HIGHEST
     x = jnp.einsum("ih,...hwc->...iwc", Mh, x, precision=hp)
     x = jnp.einsum("jw,...iwc->...ijc", Mw, x, precision=hp)

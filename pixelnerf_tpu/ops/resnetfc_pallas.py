@@ -72,15 +72,39 @@ class ResnetFCWeights(NamedTuple):
 
 
 def supported_config(
-    beta: float, use_spade: bool, combine_type: str, d_latent: int, d_in: int
+    beta: float,
+    use_spade: bool,
+    combine_type: str,
+    d_latent: int,
+    d_in: int,
+    combine_layer: int = None,
+    n_blocks: int = None,
+    ns: int = None,
 ) -> bool:
-    return (
+    """Static predicate: can this ResnetFC configuration run the fused
+    kernel? `combine_layer`/`n_blocks`/`ns` refine the answer when known:
+    - combine_layer == 0 leaves no latent-injection slot (empty wz/bz
+      stacks crash the kernel plumbing) — fall back.
+    - multi-view pooling requires combine_layer < n_blocks (the kernel
+      pools mid-chain); ns=None means "unknown at build time" and is
+      treated as multi-view (conservative — matches the runtime check in
+      ResnetFC._pallas_ok so remat-OFF is never assumed for a config that
+      will fall back to the per-layer Flax MLP at runtime).
+    """
+    if not (
         beta == 0.0
         and not use_spade
         and combine_type == "average"
         and d_latent > 0
         and d_in > 0
-    )
+    ):
+        return False
+    if combine_layer is not None and n_blocks is not None:
+        if min(combine_layer, n_blocks) == 0:
+            return False
+        if (ns is None or ns > 1) and combine_layer >= n_blocks:
+            return False
+    return True
 
 
 def _relu(x):

@@ -100,7 +100,7 @@ def main(argv=None):
         step = jax.jit(
             make_train_step(
                 model, rcfg, tx, num_rays=R, z_near=0.8, z_far=1.8,
-                remat=args.remat,
+                remat=True if args.remat else "auto", nviews=NS,
             )
         )
         for i in range(2):  # compile + warm

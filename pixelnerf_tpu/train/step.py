@@ -57,10 +57,13 @@ def create_train_state(variables, tx: optax.GradientTransformation) -> TrainStat
     )
 
 
-def _model_uses_fused_mlp(model) -> bool:
+def _model_uses_fused_mlp(model, max_nviews: Optional[int] = None) -> bool:
     """True when every field MLP of `model` will take the fused Pallas path
-    on this backend (see models.resnetfc.ResnetFC._pallas_ok; the runtime
-    shape conditions there are assumed to hold for training batches)."""
+    on this backend (mirrors models.resnetfc.ResnetFC._pallas_ok, including
+    its runtime multi-view condition: combine_layer >= n_blocks falls back
+    for NS > 1 batches). `max_nviews` is the largest source-view count the
+    step will see; None = unknown, treated as multi-view so remat-OFF is
+    never assumed for a config that falls back at runtime."""
     from pixelnerf_tpu.ops.resnetfc_pallas import supported_config
 
     mlps = [m for m in (model.mlp_coarse, model.mlp_fine) if m is not None]
@@ -76,6 +79,9 @@ def _model_uses_fused_mlp(model) -> bool:
             getattr(m, "combine_type", ""),
             getattr(m, "d_latent", 0),
             getattr(m, "d_in", 0),
+            combine_layer=getattr(m, "combine_layer", 0),
+            n_blocks=getattr(m, "n_blocks", 0),
+            ns=max_nviews,
         ):
             return False
         if up == "auto" and jax.default_backend() != "tpu":
@@ -203,6 +209,7 @@ def make_train_step(
     ray_spec=None,
     remat="auto",
     pmean_axes: Optional[Tuple[str, ...]] = None,
+    nviews: Optional[int] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -222,6 +229,9 @@ def make_train_step(
         partitioner cannot split a pallas_call, shard_map runs it on
         per-shard data. num_rays is then rays PER RAYS-SHARD and the SB
         seen here is SB per data-shard.
+    :param nviews the maximum source-view count this step will be called
+        with (max of the training `-V` list); used only by the remat="auto"
+        decision — None is conservative (assumes multi-view).
     """
     if rgb_loss_fn is None:
         rgb_loss_fn = lambda p, t: jnp.mean((p - t) ** 2)
@@ -234,7 +244,7 @@ def make_train_step(
         # SPADE, max-pooling, non-TPU backend, use_pallas=False) gets remat
         # back as OOM protection — its coarse+fine activations can exceed
         # HBM at production ray batches.
-        remat = not _model_uses_fused_mlp(model)
+        remat = not _model_uses_fused_mlp(model, max_nviews=nviews)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         batch = _prepare_batch(batch)

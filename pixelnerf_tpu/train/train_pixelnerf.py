@@ -237,7 +237,7 @@ def main(argv=None):
                 lambda_coarse=lambda_coarse, lambda_fine=lambda_fine,
                 rgb_loss_fn=rgb_loss, rgb_fine_loss_fn=rgb_fine_loss,
                 use_bbox=use_bbox, ray_spec=ray_spec, pmean_axes=pmean_axes,
-                remat=True if args.remat else "auto",
+                remat=True if args.remat else "auto", nviews=max(nviews),
             )
             e_step = make_eval_step(
                 model, rcfg, num_rays=rays_per_shard,

@@ -136,3 +136,80 @@ def test_spatial_encoder_shapes(rng, use_first_pool, H, expect_hw):
 def test_latent_scaling_value():
     s = np.asarray(latent_scaling_for((16, 64)))
     np.testing.assert_allclose(s, [64 / 63 * 2, 16 / 15 * 2])
+
+
+def test_resnetfc_combine_layer_zero_falls_back(rng):
+    """combine_layer == 0 with d_latent > 0 leaves no injection slot for the
+    fused kernel (empty wz/bz would crash at trace time); _pallas_ok must
+    reject it so the Flax path runs (advisor finding, round 1)."""
+    d_in, d_latent, NS, B = 4, 6, 2, 8
+    mlp = ResnetFC.from_conf(
+        _mlp_conf(combine_layer=0), d_in, d_latent=d_latent, d_out=2,
+        use_pallas=True,  # force: would take the kernel if not rejected
+    )
+    zx = jnp.asarray(
+        rng.standard_normal((NS * B, d_latent + d_in)).astype(np.float32)
+    )
+    params = mlp.init(jax.random.PRNGKey(0), zx, combine_inner_dims=(NS, B))
+    out = mlp.apply(params, zx, combine_inner_dims=(NS, B))
+    assert out.shape == (1, B, 2)
+
+
+def test_fused_mlp_predicate_mirrors_runtime_conditions():
+    """_model_uses_fused_mlp (remat='auto' decision) must mirror
+    ResnetFC._pallas_ok's runtime view-count condition: a default.conf
+    config (combine_layer=1000 >= n_blocks=3) trained multi-view falls back
+    to the Flax MLP, so remat must stay ON (advisor finding, round 1)."""
+    from types import SimpleNamespace
+
+    from pixelnerf_tpu.train.step import _model_uses_fused_mlp
+
+    def mk(**kw):
+        base = dict(
+            use_pallas=True, beta=0.0, use_spade=False,
+            combine_type="average", d_latent=512, d_in=42,
+            combine_layer=1000, n_blocks=3,
+        )
+        base.update(kw)
+        m = SimpleNamespace(**base)
+        return SimpleNamespace(mlp_coarse=m, mlp_fine=m)
+
+    # default.conf-style: fused only single-view
+    assert _model_uses_fused_mlp(mk(), max_nviews=1)
+    assert not _model_uses_fused_mlp(mk(), max_nviews=2)
+    assert not _model_uses_fused_mlp(mk())  # unknown -> conservative
+    # flagship multiview config: combine_layer < n_blocks, fused for any NS
+    flag = dict(combine_layer=3, n_blocks=5)
+    assert _model_uses_fused_mlp(mk(**flag), max_nviews=2)
+    assert _model_uses_fused_mlp(mk(**flag))
+    # no injection slot: never fused
+    assert not _model_uses_fused_mlp(mk(combine_layer=0), max_nviews=1)
+
+
+def test_compose_pyramid_nearest_upsample(rng):
+    """upsample_interp = nearest must compose with exact nearest resize
+    (reference encoder.py:151-160), not silently bilinear."""
+    import torch
+    import torch.nn.functional as F
+
+    from pixelnerf_tpu.models.encoder import compose_pyramid, pyramid_fused_ok
+
+    levels = [
+        jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 4, 4, 5)).astype(np.float32)),
+    ]
+    ours = np.asarray(compose_pyramid(levels, upsample_interp="nearest"))
+    ref_up = (
+        F.interpolate(
+            torch.from_numpy(np.transpose(np.asarray(levels[1]), (0, 3, 1, 2))),
+            size=(8, 8),
+            mode="nearest",
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours[..., :3], np.asarray(levels[0]), atol=1e-6)
+    np.testing.assert_allclose(ours[..., 3:], ref_up, atol=1e-6)
+    # and the fused-path predicate must reject non-bilinear upsampling
+    bf = [l.astype(jnp.bfloat16) for l in levels]
+    assert not pyramid_fused_ok(bf, "bilinear", "border", True, "nearest")
