@@ -1,5 +1,4 @@
 from pixelnerf_tpu.render.renderer import (  # noqa: F401
     RendererConfig,
     render_rays,
-    render_rays_chunked,
 )

@@ -6,8 +6,9 @@ TPU-native re-design of the reference's NeRFRenderer (src/render/nerf.py:45-371)
   state, no Python chunk loop on device (the reference loops over
   `eval_batch_size` point chunks, nerf.py:195-216; on TPU the whole
   rays x samples batch is one XLA program and scale-out is sharding, not
-  chunking). A host-side `render_rays_chunked` remains for giant
-  eval-time renders that exceed HBM.
+  chunking). For giant eval-time renders that exceed HBM, use the single
+  chunked entry point `pixelnerf_tpu.eval.render_utils.render_full`
+  (jitted per chunk shape; what all the eval CLIs use).
 * Static sample counts (n_coarse/n_fine/n_fine_depth) — shapes are fixed
   at trace time; the sample-count schedule (nerf.py:318-338) is applied
   host-side by picking a config per iteration (`RendererConfig.at_iteration`),
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 from pixelnerf_tpu.ops.composite import alpha_composite
 from pixelnerf_tpu.ops.sampling import sample_coarse, sample_fine, sample_fine_depth
 
-__all__ = ["RendererConfig", "render_rays", "render_rays_chunked"]
+__all__ = ["RendererConfig", "render_rays"]
 
 # query_fn(xyz (SB, B, 3), viewdirs (SB, B, 3) | None, coarse: bool) -> (SB, B, 4)
 QueryFn = Callable[[jnp.ndarray, Optional[jnp.ndarray], bool], jnp.ndarray]
@@ -187,37 +188,3 @@ def render_rays(
         outputs["fine"] = fmt(weights_f, rgb_f, depth_f, z_sorted.shape[-1])
 
     return outputs
-
-
-def render_rays_chunked(
-    query_fn: QueryFn,
-    rays: jnp.ndarray,
-    rng: jax.Array,
-    cfg: RendererConfig,
-    ray_chunk: int = 50000,
-    use_viewdirs: bool = True,
-) -> Dict[str, jnp.ndarray]:
-    """Host-side streaming render for huge eval batches (e.g. full orbits).
-
-    Splits the ray axis into chunks that fit HBM; each chunk is one jitted
-    render_rays call. Returns the *simple output* (rgb, depth) of the
-    finest head, like bind_parallel(simple_output=True) (nerf.py:31-39).
-    """
-    import numpy as np
-
-    SB, B, _ = rays.shape
-    rgbs, depths = [], []
-    for start in range(0, B, ray_chunk):
-        chunk = rays[:, start : start + ray_chunk]
-        rng, sub = jax.random.split(rng)
-        out = render_rays(
-            query_fn, chunk, sub, cfg, want_weights=False,
-            use_viewdirs=use_viewdirs, train=False,
-        )
-        head = out["fine"] if cfg.using_fine else out["coarse"]
-        rgbs.append(np.asarray(head["rgb"]))
-        depths.append(np.asarray(head["depth"]))
-    return {
-        "rgb": np.concatenate(rgbs, axis=1),
-        "depth": np.concatenate(depths, axis=1),
-    }

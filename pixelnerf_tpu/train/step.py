@@ -210,6 +210,7 @@ def make_train_step(
     remat="auto",
     pmean_axes: Optional[Tuple[str, ...]] = None,
     nviews: Optional[int] = None,
+    alpha_loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -232,6 +233,9 @@ def make_train_step(
     :param nviews the maximum source-view count this step will be called
         with (max of the training `-V` list); used only by the remat="auto"
         decision — None is conservative (assumes multi-view).
+    :param alpha_loss_fn optional opacity regularizer over the finest
+        head's composited per-ray alpha (losses.alpha_loss_from_conf,
+        already epoch-gated host-side by the caller); adds aux key 'ra'.
     """
     if rgb_loss_fn is None:
         rgb_loss_fn = lambda p, t: jnp.mean((p - t) ** 2)
@@ -301,7 +305,7 @@ def make_train_step(
 
             out = render_rays(
                 query_fn, rays, k_render, rcfg,
-                want_weights=False,
+                want_weights=alpha_loss_fn is not None,
                 use_viewdirs=model.use_viewdirs,
                 train=True,
             )
@@ -312,6 +316,12 @@ def make_train_step(
                 loss_f = rgb_fine_loss_fn(out["fine"]["rgb"], rgb_gt)
                 loss = loss + lambda_fine * loss_f
                 aux["rf"] = lambda_fine * loss_f
+            if alpha_loss_fn is not None:
+                head = out.get("fine", out["coarse"])
+                alpha = jnp.sum(head["weights"], axis=-1)
+                loss_a = alpha_loss_fn(alpha)
+                loss = loss + loss_a
+                aux["ra"] = loss_a
             aux["t"] = loss
             return loss, (aux, new_stats)
 

@@ -80,7 +80,10 @@ def main(argv=None):
 
     from pixelnerf_tpu.data import BatchLoader, get_split_dataset, make_step_batch
     from pixelnerf_tpu.eval.render_utils import render_full
-    from pixelnerf_tpu.models.losses import rgb_loss_from_conf
+    from pixelnerf_tpu.models.losses import (
+        alpha_loss_from_conf,
+        rgb_loss_from_conf,
+    )
     from pixelnerf_tpu.models.pixelnerf import make_model
     from pixelnerf_tpu.parallel.mesh import (
         DATA_AXIS,
@@ -148,6 +151,14 @@ def main(argv=None):
     rgb_fine_loss = rgb_loss_from_conf(
         loss_conf.get_config("rgb_fine", loss_conf.get_config("rgb")), coarse=False
     )
+    # NV2 opacity regularizer (the reference configures it in pollen.conf
+    # but never wires it; here it is applied to the finest head's alpha
+    # once epoch >= init_epoch)
+    alpha_loss, alpha_init_epoch = alpha_loss_from_conf(
+        loss_conf.get_config("alpha", None)
+    )
+    if alpha_loss is not None:
+        print(f"Alpha loss active from epoch {alpha_init_epoch}")
 
     # multi-host: each process loads its disjoint slice of the global batch
     # (same seed everywhere -> same shuffle; interleaved shards)
@@ -227,8 +238,11 @@ def main(argv=None):
 
     step_cache: Dict = {}
 
-    def get_steps(rcfg: RendererConfig, use_bbox: bool, frozen: bool = False):
-        cache_key = (rcfg.n_coarse, rcfg.n_fine, use_bbox, frozen)
+    def get_steps(
+        rcfg: RendererConfig, use_bbox: bool, frozen: bool = False,
+        alpha_active: bool = False,
+    ):
+        cache_key = (rcfg.n_coarse, rcfg.n_fine, use_bbox, frozen, alpha_active)
         step_model = model_frozen if frozen else model
         if cache_key not in step_cache:
             t_step = make_train_step(
@@ -238,6 +252,11 @@ def main(argv=None):
                 rgb_loss_fn=rgb_loss, rgb_fine_loss_fn=rgb_fine_loss,
                 use_bbox=use_bbox, ray_spec=ray_spec, pmean_axes=pmean_axes,
                 remat=True if args.remat else "auto", nviews=max(nviews),
+                alpha_loss_fn=(
+                    (lambda a: alpha_loss(a, alpha_init_epoch))
+                    if alpha_active
+                    else None
+                ),
             )
             e_step = make_eval_step(
                 model, rcfg, num_rays=rays_per_shard,
@@ -332,7 +351,13 @@ def main(argv=None):
             frozen = bool(self.warmup_steps) and global_step < self.warmup_steps
             if self.warmup_steps and global_step == self.warmup_steps:
                 print("Warmup complete: unfreezing encoder")
-            t_step, _ = get_steps(rcfg, self.use_bbox and "bbox" in data, frozen)
+            alpha_active = (
+                alpha_loss is not None
+                and global_step // steps_per_epoch >= alpha_init_epoch
+            )
+            t_step, _ = get_steps(
+                rcfg, self.use_bbox and "bbox" in data, frozen, alpha_active
+            )
             batch = self._device_batch(data, global_step, train=True)
             self.state, aux = t_step(self.state, batch, self._next_key())
             # return device scalars — the Trainer converts at print/log
