@@ -1,18 +1,30 @@
-"""Offline synthetic dataset generator (dependency-free).
+"""Offline synthetic dataset generator (dependency-free, three layouts).
 
-Capability counterpart of the reference's Blender/VTK dataset generators
-(Blender_cli.py, headless_Blender.py, src/data/pollen_image_gen.py): produces
-an SRN-format dataset — per-object dirs with intrinsics.txt (SRN 4-line
-format, Blender_cli.py:79-101), rgb/*.png, pose/*.txt c2w matrices, optional
-near_far.txt (Blender_cli.py:104-111), 8:1:1 train/val/test split by index
-mod 10 (Blender_cli.py:219-221) — but renders analytically shaded spheres/
-boxes with a tiny numpy ray tracer instead of requiring Blender or VTK
-(neither is available in this environment). Cameras are placed on a
-Fibonacci sphere like the reference generator (Blender_cli.py:204-215).
+Capability counterpart of the reference's Blender/VTK dataset generators —
+the renderer-independent pose math and metadata writers live in
+`pixelnerf_tpu.tools.camera_gen`; this tool drives them with a tiny numpy
+ray tracer (analytically shaded spheres) instead of Blender/VTK (neither is
+available in this environment; bpy would plug in as the same
+render-callback shape).
+
+Layouts (--format):
+* ``srn`` (default) — per-object dirs with intrinsics.txt (SRN 4-line
+  format, Blender_cli.py:79-101), rgb/*.png, pose/*.txt c2w matrices,
+  optional near_far.txt (Blender_cli.py:104-111), 8:1:1 split by index
+  mod 10 (Blender_cli.py:219-221), Fibonacci-sphere cameras
+  (Blender_cli.py:204-215). Loadable by data/srn.py (formats srn/pollen).
+* ``multi_obj`` — NeRF-synthetic: <stage>/<obj>/view_###_obj.png (RGBA)
+  + transforms.json with camera_angle_x (render_shapenet.py:503-522);
+  hemisphere train views + Archimedes-spiral val/test views
+  (render_shapenet.py:492-501). Loadable by data/multi_obj.py.
+* ``dvr`` — NMR-ShapeNet: <cat>/<obj>/{image/,mask/,cameras.npz} +
+  softras_<stage>.lst split lists (DVRDataset.py:44-62,182-202); same
+  hemisphere/spiral camera distributions. Loadable by data/dvr.py
+  (formats dvr / sn64-style configs).
 
 Run:
     python -m pixelnerf_tpu.tools.make_synthetic_dataset --out /tmp/synth \
-        --name shapes --n_objs 10 --n_views 50 --size 128
+        --name shapes --format dvr --n_objs 50 --n_views 24 --size 64
 """
 
 from __future__ import annotations
@@ -22,23 +34,29 @@ import os
 
 import numpy as np
 
+from pixelnerf_tpu.tools.camera_gen import (
+    archimedes_spiral_poses,
+    fibonacci_sphere,
+    hemisphere_poses,
+    write_dvr_cameras,
+    write_srn_intrinsics,
+    write_transforms_json,
+)
 from pixelnerf_tpu.utils.cameras import look_at
 
-
-def fibonacci_sphere(n: int, radius: float) -> np.ndarray:
-    """Evenly distributed camera positions (reference Blender_cli.py:204-215)."""
-    pts = []
-    phi = np.pi * (3.0 - np.sqrt(5.0))
-    for i in range(n):
-        y = 1 - (i / float(n - 1)) * 2
-        r = np.sqrt(max(1 - y * y, 0.0))
-        theta = phi * i
-        pts.append((np.cos(theta) * r, y, np.sin(theta) * r))
-    return np.asarray(pts, dtype=np.float32) * radius
+# format-canonical camera radii: srn matches the pollen generator; dvr and
+# multi_obj sit mid-way in their loaders' fixed z ranges (dvr.py z 1.2-4.0,
+# multi_obj.py z 4-9)
+_RADIUS = {"srn": 1.3, "dvr": 2.6, "multi_obj": 6.5}
+# scene radius (sphere centers + radii) scales with the camera distance
+_SCENE_SCALE = {"srn": 1.0, "dvr": 2.0, "multi_obj": 4.0}
 
 
-def render_scene(pose: np.ndarray, focal: float, size: int, spheres) -> np.ndarray:
-    """Minimal numpy ray tracer: lambertian spheres on white background."""
+def render_scene(pose, focal, size, spheres):
+    """Minimal numpy ray tracer: lambertian spheres, white background.
+
+    :return (rgb (H,W,3) uint8 white-bkgd, alpha (H,W) uint8 hit mask)
+    """
     H = W = size
     c = size / 2.0
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
@@ -66,7 +84,32 @@ def render_scene(pose: np.ndarray, focal: float, size: int, spheres) -> np.ndarr
         shade = np.clip(np.einsum("hwc,c->hw", normal, light), 0.1, 1.0)
         img = np.where(hit[..., None], color[None, None] * shade[..., None], img)
         depth = np.where(hit, t, depth)
-    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    rgb = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    alpha = (np.isfinite(depth) * 255).astype(np.uint8)
+    return rgb, alpha
+
+
+def sample_spheres(rng, scale=1.0):
+    """Random compound object: 2-4 lambertian spheres within `0.55 * scale`."""
+    n_spheres = int(rng.integers(2, 5))
+    spheres = []
+    for _ in range(n_spheres):
+        spheres.append(
+            (
+                rng.uniform(-0.25 * scale, 0.25 * scale, 3).astype(np.float32),
+                float(rng.uniform(0.12 * scale, 0.3 * scale)),
+                rng.uniform(0.15, 0.95, 3).astype(np.float32),
+            )
+        )
+    return spheres
+
+
+def _poses_for_split(split, n_views, radius, rng):
+    """Train: binned hemisphere; val/test: Archimedes spiral
+    (reference render_shapenet.py:492-501)."""
+    if split == "train":
+        return hemisphere_poses(n_views, radius, rng)
+    return archimedes_spiral_poses(n_views, radius)
 
 
 def main(argv=None):
@@ -75,10 +118,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--name", type=str, default="shapes")
+    parser.add_argument(
+        "--format", choices=("srn", "multi_obj", "dvr"), default="srn"
+    )
     parser.add_argument("--n_objs", type=int, default=10)
     parser.add_argument("--n_views", type=int, default=50)
     parser.add_argument("--size", type=int, default=128)
-    parser.add_argument("--radius", type=float, default=1.3)
+    parser.add_argument("--radius", type=float, default=None)
     parser.add_argument("--z_near", type=float, default=0.8)
     parser.add_argument("--z_far", type=float, default=1.8)
     parser.add_argument("--near_far", action="store_true")
@@ -86,50 +132,102 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
-    focal = float(args.size)
+    scale = _SCENE_SCALE[args.format]
+    radius = args.radius if args.radius is not None else _RADIUS[args.format]
+    if args.format == "srn":
+        focal = float(args.size)
+    else:
+        # fit the scene (radius 0.55*scale) in frame with ~20% margin
+        scene_r = 0.55 * scale
+        focal = (args.size / 2.0) * (radius - scene_r) / (1.2 * scene_r)
     datadir = os.path.join(args.out, args.name)
+    stage = ("train",) * 8 + ("val", "test")
+    dvr_splits = {"train": [], "val": [], "test": []}
 
     for obj in range(args.n_objs):
         # 8:1:1 split by index (Blender_cli.py:219-221)
-        stage = ("train",) * 8 + ("val", "test")
         split = stage[obj % 10]
-        obj_dir = os.path.join(
-            datadir, f"{args.name}_{split}", f"obj{obj:04d}"
-        )
-        os.makedirs(os.path.join(obj_dir, "rgb"), exist_ok=True)
-        os.makedirs(os.path.join(obj_dir, "pose"), exist_ok=True)
+        spheres = sample_spheres(rng, scale)
 
-        with open(os.path.join(obj_dir, "intrinsics.txt"), "w") as f:
-            f.write(
-                f"{focal} {args.size / 2} {args.size / 2} 0.\n"
-                f"0. 0. 0.\n1.\n{args.size} {args.size}\n"
+        if args.format == "srn":
+            obj_dir = os.path.join(
+                datadir, f"{args.name}_{split}", f"obj{obj:04d}"
             )
-        if args.near_far:
-            with open(os.path.join(obj_dir, "near_far.txt"), "w") as f:
-                f.write(f"{args.z_near} {args.z_far}\n")
-
-        # random compound object: 2-4 lambertian spheres
-        n_spheres = int(rng.integers(2, 5))
-        spheres = []
-        for _ in range(n_spheres):
-            spheres.append(
-                (
-                    rng.uniform(-0.25, 0.25, 3).astype(np.float32),
-                    float(rng.uniform(0.12, 0.3)),
-                    rng.uniform(0.15, 0.95, 3).astype(np.float32),
+            os.makedirs(os.path.join(obj_dir, "rgb"), exist_ok=True)
+            os.makedirs(os.path.join(obj_dir, "pose"), exist_ok=True)
+            write_srn_intrinsics(obj_dir, focal, args.size)
+            if args.near_far:
+                with open(os.path.join(obj_dir, "near_far.txt"), "w") as f:
+                    f.write(f"{args.z_near} {args.z_far}\n")
+            positions = fibonacci_sphere(args.n_views, radius)
+            for v, origin in enumerate(positions):
+                pose = look_at(origin, np.zeros(3))
+                img, _ = render_scene(pose, focal, args.size, spheres)
+                imageio.imwrite(
+                    os.path.join(obj_dir, "rgb", f"{v:06d}.png"), img
                 )
+                # SRN pose files store c2w PRE-flipped by diag(1,-1,-1,1)
+                # (reference Blender_cli.py:224-227) so the loader's flip
+                # (SRNDataset.py:56-58,97) restores the OpenGL pose the
+                # image was rendered with
+                np.savetxt(
+                    os.path.join(obj_dir, "pose", f"{v:06d}.txt"),
+                    (pose @ np.diag([1.0, -1.0, -1.0, 1.0])).reshape(1, 16),
+                )
+
+        elif args.format == "multi_obj":
+            obj_dir = os.path.join(datadir, split, f"obj{obj:04d}")
+            os.makedirs(obj_dir, exist_ok=True)
+            poses = _poses_for_split(split, args.n_views, radius, rng)
+            file_paths = []
+            for v, pose in enumerate(poses):
+                img, alpha = render_scene(pose, focal, args.size, spheres)
+                rgba = np.concatenate(
+                    [
+                        # zero RGB where transparent: loaders derive the
+                        # bbox from any-nonzero pixels (multi_obj.py:77-90)
+                        np.where(alpha[..., None] > 0, img, 0).astype(np.uint8),
+                        alpha[..., None],
+                    ],
+                    axis=-1,
+                )
+                name = f"view_{v:03d}"
+                imageio.imwrite(
+                    os.path.join(obj_dir, name + "_obj.png"), rgba
+                )
+                file_paths.append(name)
+            camera_angle_x = 2.0 * np.arctan(args.size / (2.0 * focal))
+            write_transforms_json(
+                obj_dir, poses, camera_angle_x, file_paths,
+                model_ids=[f"obj{obj:04d}"],
             )
 
-        positions = fibonacci_sphere(args.n_views, args.radius)
-        for v, origin in enumerate(positions):
-            pose = look_at(origin, np.zeros(3))
-            img = render_scene(pose, focal, args.size, spheres)
-            imageio.imwrite(os.path.join(obj_dir, "rgb", f"{v:06d}.png"), img)
-            np.savetxt(
-                os.path.join(obj_dir, "pose", f"{v:06d}.txt"),
-                pose.reshape(1, 16),
-            )
+        else:  # dvr
+            obj_name = f"obj{obj:04d}"
+            obj_dir = os.path.join(datadir, "synth", obj_name)
+            os.makedirs(os.path.join(obj_dir, "image"), exist_ok=True)
+            os.makedirs(os.path.join(obj_dir, "mask"), exist_ok=True)
+            poses = _poses_for_split(split, args.n_views, radius, rng)
+            for v, pose in enumerate(poses):
+                img, alpha = render_scene(pose, focal, args.size, spheres)
+                imageio.imwrite(
+                    os.path.join(obj_dir, "image", f"{v:04d}.png"), img
+                )
+                imageio.imwrite(
+                    os.path.join(obj_dir, "mask", f"{v:04d}.png"), alpha
+                )
+            write_dvr_cameras(obj_dir, poses, focal, args.size)
+            dvr_splits[split].append(obj_name)
+
         print(f"obj {obj} ({split}): {args.n_views} views")
+
+    if args.format == "dvr":
+        cat_dir = os.path.join(datadir, "synth")
+        for split, names in dvr_splits.items():
+            with open(
+                os.path.join(cat_dir, f"softras_{split}.lst"), "w"
+            ) as f:
+                f.write("\n".join(names) + ("\n" if names else ""))
     print("Wrote dataset to", datadir)
 
 

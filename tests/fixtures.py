@@ -63,7 +63,12 @@ def make_srn_dataset(
                 imageio.imwrite(
                     os.path.join(obj_dir, "rgb", f"{v:06d}.png"), img
                 )
-                pose = _sphere_pose(v, nv)
+                # SRN convention: on-disk c2w is pre-flipped by
+                # diag(1,-1,-1,1) (reference Blender_cli.py:224-227); the
+                # loader's flip restores the OpenGL pose
+                pose = _sphere_pose(v, nv) @ np.diag(
+                    [1.0, -1.0, -1.0, 1.0]
+                ).astype(np.float32)
                 np.savetxt(
                     os.path.join(obj_dir, "pose", f"{v:06d}.txt"),
                     pose.reshape(1, 16),

@@ -17,6 +17,8 @@ from pixelnerf_tpu.models.pixelnerf import make_model
 from pixelnerf_tpu.render.renderer import RendererConfig, render_rays
 from pixelnerf_tpu.utils import hocon
 
+pytestmark = pytest.mark.slow  # full build+render per config (~1 min total)
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFS = sorted(glob.glob(os.path.join(_ROOT, "conf", "exp", "*.conf")))
 

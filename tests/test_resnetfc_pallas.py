@@ -123,6 +123,7 @@ def test_grads_match_flax(sb, ns, b, n_blocks, combine_layer, tol):
         assert rel < tol, f"grad mismatch at {jax.tree_util.keystr(k)}: {rel}"
 
 
+@pytest.mark.slow
 def test_tuple_input_matches_concat():
     """(z, x) tuple form == concatenated zx on BOTH paths (the tuple is
     what PixelNeRFNet.query passes to avoid materializing the concat)."""

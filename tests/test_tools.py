@@ -20,6 +20,39 @@ def test_pose_sanity_check_passes_on_fixture(tmp_path):
     assert os.path.exists(tmp_path / "rig.png")
 
 
+def test_pose_sanity_check_diagnostics(tmp_path):
+    """check2-class battery (reference check2.py:57-118): alignment dots,
+    FOV, duplicate-camera distance, intensity means."""
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.tools.pose_sanity_check import camera_diagnostics, main
+
+    datadir = make_srn_dataset(str(tmp_path), n_objs=2, nv=6, H=16)
+    dset = get_split_dataset(
+        "srn", datadir, want_split="train", image_size=(16, 16)
+    )
+    d = camera_diagnostics(dset[0])
+    # fixture cameras look at the origin -> alignment ~ 1
+    assert (d["alignment"] > 0.99).all()
+    assert d["min_camera_dist"] > 1e-3
+    assert 0.0 < d["fov_deg"] < 180.0
+    assert d["mean_rgb"].shape == (6,)
+    assert ((d["mean_rgb"] >= 0) & (d["mean_rgb"] <= 1)).all()
+
+    failures = main(
+        ["--datadir", datadir, "-F", "srn", "--num_objects", "1",
+         "--diagnostics", "--plot", str(tmp_path / "rig2.png")]
+    )
+    assert failures == 0
+    assert os.path.exists(tmp_path / "rig2.png")
+
+    # a broken rig (camera looking away from the scene) must be flagged
+    item = dset[0]
+    poses = np.asarray(item["poses"]).copy()
+    poses[0, :3, :3] = -poses[0, :3, :3]  # flip: forward now points away
+    bad = camera_diagnostics({**item, "poses": poses})
+    assert bad["alignment"][0] < 0.0
+
+
 def test_eval_view_list_gen(tmp_path):
     from pixelnerf_tpu.tools.eval_view_list_gen import (
         compute_angle,
@@ -93,6 +126,98 @@ def test_make_synthetic_dataset_loads(tmp_path):
     assert (obj["bbox"][:, 2] > obj["bbox"][:, 0]).all()
     # near_far.txt honored
     assert train.z_near == 0.8 and train.z_far == 1.8
+
+
+def test_camera_gen_pose_math():
+    """Hemisphere / spiral distributions (reference render_shapenet.py:492-501):
+    valid look-at c2w matrices on the upper hemisphere at the requested
+    radius, pitch sweeping the range for the spiral."""
+    from pixelnerf_tpu.tools.camera_gen import (
+        archimedes_spiral_poses,
+        hemisphere_poses,
+    )
+    from pixelnerf_tpu.tools.pose_sanity_check import check_poses
+
+    rng = np.random.default_rng(0)
+    for poses in (
+        hemisphere_poses(24, 2.5, rng),
+        archimedes_spiral_poses(24, 2.5),
+    ):
+        assert poses.shape == (24, 4, 4)
+        assert check_poses(poses, verbose=False) == 0
+        centers = poses[:, :3, 3]
+        np.testing.assert_allclose(
+            np.linalg.norm(centers, axis=-1), 2.5, atol=1e-5
+        )
+        assert (centers[:, 1] > -1e-5).all()  # upper hemisphere (y-up)
+        # look-at: forward (-Z col) points at the origin
+        fwd = -poses[:, :3, 2]
+        to_origin = -centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+        np.testing.assert_allclose(
+            np.einsum("vi,vi->v", fwd, to_origin), 1.0, atol=1e-5
+        )
+    # spiral pitch is monotone: camera descends from near-pole to equator
+    sp = archimedes_spiral_poses(24, 2.5)
+    ys = sp[:, 1, 3]
+    assert (np.diff(ys) < 1e-6).all()
+
+
+def test_make_synthetic_dataset_multi_obj(tmp_path):
+    """multi_obj layout loads through the factory with correct projection:
+    foreground bbox must sit in the image interior (cameras aimed)."""
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.tools.make_synthetic_dataset import main
+
+    main(
+        ["--out", str(tmp_path), "--name", "mo", "--format", "multi_obj",
+         "--n_objs", "10", "--n_views", "4", "--size", "32"]
+    )
+    datadir = str(tmp_path / "mo")
+    train = get_split_dataset("multi_obj", datadir, want_split="train")
+    test = get_split_dataset("multi_obj", datadir, want_split="test")
+    assert len(train) == 8 and len(test) == 1
+    obj = train[0]
+    assert obj["images"].shape == (4, 32, 32, 3)
+    assert obj["masks"].sum() > 0
+    b = obj["bbox"]
+    assert (b[:, 0] > 0).all() and (b[:, 2] < 31).all()
+    # white background where mask is empty
+    bg = obj["images"][obj["masks"][..., 0] == 0]
+    assert bg.min() > 0.99  # [-1,1] images: white == 1
+
+
+def test_make_synthetic_dataset_dvr(tmp_path):
+    """DVR layout (cameras.npz + softras_*.lst) round-trips the generator's
+    OpenGL c2w through the loader's coordinate transforms."""
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.tools.camera_gen import archimedes_spiral_poses
+    from pixelnerf_tpu.tools.make_synthetic_dataset import main
+    from pixelnerf_tpu.tools.pose_sanity_check import camera_diagnostics
+
+    main(
+        ["--out", str(tmp_path), "--name", "dv", "--format", "dvr",
+         "--n_objs", "10", "--n_views", "4", "--size", "32"]
+    )
+    datadir = str(tmp_path / "dv")
+    train = get_split_dataset("dvr", datadir, want_split="train")
+    val = get_split_dataset("dvr", datadir, want_split="val")
+    assert len(train) == 8 and len(val) == 1
+    obj = train[0]
+    assert obj["images"].shape == (4, 32, 32, 3)
+    assert obj["masks"].sum() > 0
+    assert (obj["bbox"][:, 2] > obj["bbox"][:, 0]).all()
+    # loader-recovered poses: still look-at cameras at the dvr radius
+    d = camera_diagnostics(obj)
+    assert (d["alignment"] > 0.999).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(d["centers"], axis=-1), 2.6, atol=1e-4
+    )
+    # val/test split uses the deterministic spiral: loader pose == generator pose
+    vobj = val[0]
+    expect = archimedes_spiral_poses(4, 2.6)
+    np.testing.assert_allclose(
+        np.asarray(vobj["poses"]), expect, atol=1e-5
+    )
 
 
 def test_preproc_grabcut_and_normalize(tmp_path):

@@ -108,6 +108,7 @@ def test_sample_rays_bbox_restricts_pixels():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_overfit_tiny_scene():
     """End-to-end slice: loss decreases when overfitting one tiny scene."""
     model = _tiny_model()
@@ -144,6 +145,7 @@ def test_parse_mesh_spec():
         parse_mesh_spec("data:3,rays:4", 8)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """One sharded train step must equal the unsharded step numerically."""
@@ -192,6 +194,7 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_shmap_step_runs_and_replicates():
     """shard_map explicit-SPMD path (parallel.mesh.shard_train_step_shmap):
     per-shard ray sampling + pmean'd grads produce a replicated, finite,
@@ -233,6 +236,7 @@ def test_shmap_step_runs_and_replicates():
     assert np.isfinite(float(aux2["t"]))
 
 
+@pytest.mark.slow
 def test_compact_transfer_batch_matches_full():
     """The uint8+index wire format must produce the same step result as the
     full f32 batch (u8 round-trip is lossless for u8-sourced images)."""
