@@ -85,6 +85,7 @@ def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
     there, so nothing in the input needs a rays-axis sharding.
     """
     data = NamedSharding(mesh, P(DATA_AXIS))
+    rays = NamedSharding(mesh, P(DATA_AXIS, RAYS_AXIS))
     return {
         "images": data,
         "images_u8": data,
@@ -97,6 +98,10 @@ def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
         "src_poses": data,
         "src_c": data,
         "z_bounds": data,
+        # externally-supplied (SB, R, ...) ray batches (train/step.py
+        # 'rays'/'rgb_gt' bypass) shard over both mesh axes
+        "rays": rays,
+        "rgb_gt": rays,
     }
 
 
@@ -140,6 +145,8 @@ _DATA_SHARDED_KEYS = frozenset(
         "src_images", "src_poses", "src_c", "z_bounds",
     }
 )
+# (SB, R, ...) keys sharded over BOTH axes (injected ray batches)
+_RAY_SHARDED_KEYS = frozenset({"rays", "rgb_gt"})
 
 
 def globalize_batch(batch: Dict, mesh: Mesh) -> Dict:
@@ -194,7 +201,11 @@ def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
         key = frozenset(batch)
         if key not in cache:
             batch_specs = {
-                k: (P_(DATA_AXIS) if k in _DATA_SHARDED_KEYS else P_())
+                k: (
+                    P_(DATA_AXIS, RAYS_AXIS)
+                    if k in _RAY_SHARDED_KEYS
+                    else P_(DATA_AXIS) if k in _DATA_SHARDED_KEYS else P_()
+                )
                 for k in batch
             }
             cache[key] = jax.jit(

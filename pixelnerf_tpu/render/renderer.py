@@ -46,6 +46,11 @@ class RendererConfig:
     n_fine_depth: int = flax.struct.field(pytree_node=False, default=0)
     noise_std: float = flax.struct.field(pytree_node=False, default=0.0)
     depth_std: float = flax.struct.field(pytree_node=False, default=0.01)
+    # in-bin jitter scale for all z samplers (ops/sampling.py): 1.0 = the
+    # reference's always-on stratified jitter; 0.0 = fully deterministic
+    # sampling (bin midpoints / fixed CDF quantiles) — used for repeatable
+    # eval renders and SPMD-equivalence testing.
+    perturb: float = flax.struct.field(pytree_node=False, default=1.0)
     white_bkgd: bool = flax.struct.field(pytree_node=False, default=False)
     lindisp: bool = flax.struct.field(pytree_node=False, default=False)
     eval_batch_size: int = flax.struct.field(pytree_node=False, default=100000)
@@ -144,7 +149,9 @@ def render_rays(
 
     k_coarse, k_fine, k_depth, k_noise_c, k_noise_f = jax.random.split(rng, 5)
 
-    z_coarse = sample_coarse(k_coarse, rays_flat, cfg.n_coarse, cfg.lindisp)
+    z_coarse = sample_coarse(
+        k_coarse, rays_flat, cfg.n_coarse, cfg.lindisp, perturb=cfg.perturb
+    )
     weights_c, rgb_c, depth_c = _composite(
         query_fn, rays_flat, z_coarse, cfg, superbatch, True, use_viewdirs,
         k_noise_c, train,
@@ -167,7 +174,7 @@ def render_rays(
             all_samps.append(
                 sample_fine(
                     k_fine, rays_flat, weights_c, cfg.n_fine - cfg.n_fine_depth,
-                    cfg.lindisp,
+                    cfg.lindisp, perturb=cfg.perturb,
                 )
             )
         if cfg.n_fine_depth > 0:
@@ -176,7 +183,7 @@ def render_rays(
             all_samps.append(
                 sample_fine_depth(
                     k_depth, rays_flat, jax.lax.stop_gradient(depth_c),
-                    cfg.n_fine_depth, cfg.depth_std,
+                    cfg.n_fine_depth, cfg.depth_std, perturb=cfg.perturb,
                 )
             )
         z_combine = jnp.concatenate(all_samps, axis=-1)  # (B, Kc+Kf)

@@ -257,18 +257,24 @@ def make_train_step(
             for ax in pmean_axes:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
         k_pix, k_render = jax.random.split(rng)
-        rays, rgb_gt = sample_rays(
-            k_pix,
-            batch["images"],
-            batch["poses"],
-            batch["focal"],
-            batch["c"],
-            z_near,
-            z_far,
-            num_rays,
-            bbox=batch.get("bbox") if use_bbox else None,
-            lindisp_bounds=batch.get("z_bounds"),
-        )
+        if "rays" in batch:
+            # externally-supplied ray batch (pose-optimization flows,
+            # custom pixel samplers, SPMD-equivalence tests): bypass the
+            # on-device pixel sampling. Requires matching 'rgb_gt'.
+            rays, rgb_gt = batch["rays"], batch["rgb_gt"]
+        else:
+            rays, rgb_gt = sample_rays(
+                k_pix,
+                batch["images"],
+                batch["poses"],
+                batch["focal"],
+                batch["c"],
+                z_near,
+                z_far,
+                num_rays,
+                bbox=batch.get("bbox") if use_bbox else None,
+                lindisp_bounds=batch.get("z_bounds"),
+            )
         if ray_spec is not None:
             rays = jax.lax.with_sharding_constraint(rays, ray_spec)
             rgb_gt = jax.lax.with_sharding_constraint(rgb_gt, ray_spec)
@@ -371,10 +377,14 @@ def make_eval_step(
             for ax in pmean_axes:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
         k_pix, k_render = jax.random.split(rng)
-        rays, rgb_gt = sample_rays(
-            k_pix, batch["images"], batch["poses"], batch["focal"], batch["c"],
-            z_near, z_far, num_rays, lindisp_bounds=batch.get("z_bounds"),
-        )
+        if "rays" in batch:
+            rays, rgb_gt = batch["rays"], batch["rgb_gt"]
+        else:
+            rays, rgb_gt = sample_rays(
+                k_pix, batch["images"], batch["poses"], batch["focal"],
+                batch["c"], z_near, z_far, num_rays,
+                lindisp_bounds=batch.get("z_bounds"),
+            )
         variables = state.variables()
         enc = model.apply(
             variables, batch["src_images"], batch["src_poses"], batch["focal"],
