@@ -65,12 +65,16 @@ def main(argv=None):
     want_mesh = args.mode in ("mesh", "both")
     want_nvs = args.mode in ("nvs", "both")
 
-    # jitted chunked sigma query (fake zero viewdirs like recon.py:38-41)
+    # jitted chunked sigma query (fake zero viewdirs like recon.py:38-41);
+    # fused gather+field kernel: the grid chunk's gathered latent never
+    # materializes in HBM (see render_utils.make_chunk_renderer)
+    sigma_model = model.clone(use_field_fusion=True)
+
     @jax.jit
     def sigma_chunk(enc, pts):
         xyz = pts[None]  # (1, N, 3)
         vd = jnp.zeros_like(xyz) if model.use_viewdirs else None
-        out = model.apply(variables, enc, xyz, vd, True, method="query")
+        out = sigma_model.apply(variables, enc, xyz, vd, True, method="query")
         return out[0, :, 3]
 
     n_objs = len(dset) if args.limit == 0 else min(args.limit, len(dset))

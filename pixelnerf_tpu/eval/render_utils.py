@@ -21,7 +21,17 @@ __all__ = ["make_chunk_renderer", "render_full"]
 
 
 def make_chunk_renderer(model, rcfg: RendererConfig, chunk: int):
-    """Returns render_chunk(variables, enc, rays(1,chunk,8), key) -> outputs."""
+    """Returns render_chunk(variables, enc, rays(1,chunk,8), key) -> outputs.
+
+    Inference renders opt into the fully-fused gather+field megakernel
+    (ops/field_pallas.py): the (M, d_latent) gathered latent never
+    materializes in HBM, lifting the render chunk cap ~4x (the latent was
+    the largest live array in a chunk — 2-3 GB at 16k rays). Params are
+    unaffected (same tree); the clone is a static-flag change only."""
+    try:
+        model = model.clone(use_field_fusion=True)
+    except AttributeError:  # non-PixelNeRFNet models
+        pass
 
     @jax.jit
     def render_chunk(variables, enc, rays, key):
@@ -42,7 +52,7 @@ def render_full(
     enc,
     rays: np.ndarray,
     rcfg: RendererConfig,
-    chunk: int = 16384,
+    chunk: int = 65536,
     seed: int = 0,
     renderer=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:

@@ -87,6 +87,15 @@ class PixelNeRFNet(nn.Module):
     # use_pallas=False for GSPMD auto-partitioning, which cannot split a
     # pallas_call (make_model(use_pallas=False) sets both).
     use_fused_gather: bool = True
+    # run the FULLY-fused gather+field megakernel (ops/field_pallas.py) in
+    # query(): the (M, d_latent) gathered latent never materializes in
+    # HBM. Default False for training (measured ~4% slower per step than
+    # the two-kernel path — the gather's one-hot work is compute, not HBM,
+    # so fusing buys little and costs Mosaic scheduling slack); eval
+    # surfaces clone the model with True, where removing the multi-GB
+    # per-chunk latent lifts the render chunk cap ~4x. Flip with
+    # `model.clone(use_field_fusion=True)`.
+    use_field_fusion: bool = False
     # submodules (see make_model)
     encoder: Optional[SpatialEncoder] = None
     code: Optional[PositionalEncoding] = None
@@ -224,6 +233,8 @@ class PixelNeRFNet(nn.Module):
 
             mlp_input = z_feature  # (SB*NS*B, d_in)
 
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
+
         if self.use_encoder:
             # perspective projection into each source view (models.py:204-215)
             uv = -xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]  # (SB*NS, B, 2)
@@ -234,6 +245,24 @@ class PixelNeRFNet(nn.Module):
             if cc.shape[0] > 1:
                 cc = repeat_interleave(cc, NS)
             uv = uv * focal[:, None, :] + cc[:, None, :]
+
+            if self._field_fused_ok(enc, mlp, NS):
+                # fully-fused path: hand the MLP the native pyramid + the
+                # normalized coords; the gather happens inside the field
+                # megakernel and the (M, d_latent) latent never exists in
+                # HBM (ops/field_pallas.py). Same normalization as
+                # index_features.
+                from pixelnerf_tpu.models.resnetfc import FieldInput
+
+                grid = uv * (enc.latent_scaling / enc.image_size) - 1.0
+                mlp_input = FieldInput(
+                    feats=tuple(enc.latent),
+                    grid=grid,
+                    x=mlp_input.astype(enc.latent[0].dtype),
+                )
+                with jax.named_scope("field_fused"):
+                    mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
+                return self._head(mlp_output, SB, B)
 
             with jax.named_scope("encoder_index"):
                 latent = index_features(
@@ -273,14 +302,45 @@ class PixelNeRFNet(nn.Module):
             else:
                 mlp_input = jnp.concatenate([gl, mlp_input], axis=-1)
 
-        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("resnetfc_infer"):
             mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
-        mlp_output = mlp_output.reshape(-1, B, self.d_out).astype(jnp.float32)
+        return self._head(mlp_output, SB, B)
 
+    def _head(self, mlp_output: jnp.ndarray, SB: int, B: int) -> jnp.ndarray:
+        """rgb sigmoid + sigma relu heads (f32), reference models.py:259-266."""
+        mlp_output = mlp_output.reshape(-1, B, self.d_out).astype(jnp.float32)
         rgb = jax.nn.sigmoid(mlp_output[..., :3])
         sigma = jax.nn.relu(mlp_output[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1).reshape(SB, B, -1)
+
+    def _field_fused_ok(self, enc: SceneEncoding, mlp, ns: int) -> bool:
+        """Static (trace-time) predicate for the fully-fused gather+field
+        path. Mirrors index_features' fused-gather conditions PLUS the
+        MLP's own fused-kernel conditions; any miss falls back to the
+        two-kernel (or XLA) path with identical numerics.
+
+        stop_encoder_grad falls back: the fused backward always computes
+        feature cotangents (the two-kernel path applies stop_gradient on
+        the gathered latent instead)."""
+        from pixelnerf_tpu.models.encoder import pyramid_fused_ok
+        from pixelnerf_tpu.models.resnetfc import ResnetFC
+
+        return (
+            self.use_field_fusion
+            and isinstance(enc.latent, tuple)
+            and isinstance(mlp, ResnetFC)
+            and self.d_in > 0
+            and not self.use_global_encoder
+            and not self.stop_encoder_grad
+            and pyramid_fused_ok(
+                enc.latent,
+                self.encoder.index_interp,
+                self.encoder.index_padding,
+                self.use_fused_gather,
+                self.encoder.upsample_interp,
+            )
+            and mlp.field_path_ok(ns)
+        )
 
     def __call__(self, images, poses, focal, xyz, c=None, viewdirs=None):
         """Convenience: encode + query in one call (used for param init)."""

@@ -16,7 +16,7 @@ zero-init on each block's second linear (resnetfc.py:36-51).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -24,7 +24,20 @@ import jax.numpy as jnp
 
 from pixelnerf_tpu.utils.rays import combine_interleaved
 
-__all__ = ["ResnetFC", "ResnetBlockFC"]
+__all__ = ["ResnetFC", "ResnetBlockFC", "FieldInput"]
+
+
+class FieldInput(NamedTuple):
+    """Input for the fully-fused pyramid-gather + field-MLP path
+    (ops/field_pallas.py): instead of a pre-gathered latent, the MLP
+    receives the native pyramid levels and the normalized sample coords
+    and gathers per point-tile IN the kernel — the (M, d_latent) latent
+    never materializes in HBM. Built by PixelNeRFNet.query when
+    `field_path_ok`; consumed only by ResnetFC."""
+
+    feats: Tuple[jnp.ndarray, ...]  # native levels (SB*NS, H_l, W_l, C_l)
+    grid: jnp.ndarray  # (SB*NS, B, 2) normalized [-1, 1] fine-grid coords
+    x: jnp.ndarray  # (SB*NS*B, d_in) positional-code features
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 _zeros = nn.initializers.zeros
@@ -152,6 +165,26 @@ class ResnetFC(nn.Module):
             return jax.default_backend() == "tpu"
         return True
 
+    def field_path_ok(self, ns: int) -> bool:
+        """Static predicate: can this module consume a FieldInput (the
+        fully-fused gather+MLP kernel)? Callable on the bare module —
+        PixelNeRFNet.query consults it BEFORE deciding whether to gather
+        the latent itself. The gather half (fine-grid size, bf16, bilinear/
+        border) is checked by the caller via encoder.pyramid_fused_ok."""
+        from pixelnerf_tpu.ops.resnetfc_pallas import supported_config
+
+        if self.use_pallas is False:
+            return False
+        if not supported_config(
+            self.beta, self.use_spade, self.combine_type, self.d_latent,
+            self.d_in, combine_layer=self.combine_layer,
+            n_blocks=self.n_blocks, ns=ns,
+        ):
+            return False
+        if self.use_pallas == "auto":
+            return jax.default_backend() == "tpu"
+        return True
+
     @nn.compact
     def __call__(
         self,
@@ -167,6 +200,12 @@ class ResnetFC(nn.Module):
         :param combine_inner_dims (NS, B) multi-view reduction dims
         :return (..., d_out) (leading dim shrinks by NS at combine_layer)
         """
+        if isinstance(zx, FieldInput):
+            assert self.field_path_ok(combine_inner_dims[0]), (
+                "FieldInput passed but the fused field path is not "
+                "supported for this configuration"
+            )
+            return self._call_field(zx, combine_inner_dims)
         if isinstance(zx, tuple):
             z, x = zx
             assert z.shape[-1] == self.d_latent and x.shape[-1] == self.d_in
@@ -216,20 +255,13 @@ class ResnetFC(nn.Module):
         )(act(x))
         return out
 
-    def _call_pallas(self, z, x, combine_inner_dims) -> jnp.ndarray:
-        """Fused-megakernel path (ops/resnetfc_pallas.py). Parameter tree is
-        identical to the per-layer path via the _LinParams/_BlockParams
-        factories, so the two paths share checkpoints."""
-        from pixelnerf_tpu.ops.resnetfc_pallas import (
-            ResnetFCWeights, resnetfc_fused,
-        )
+    def _fused_weights(self):
+        """Assemble the fused kernels' weight pytree from the SAME
+        _LinParams/_BlockParams factories as the per-layer path, so the
+        parameter tree is bit-identical and checkpoints interchange."""
+        from pixelnerf_tpu.ops.resnetfc_pallas import ResnetFCWeights
 
-        ns, b = combine_inner_dims
-        m = x.shape[0]
-        assert m % (ns * b) == 0, (m, ns, b)
-        sb = m // (ns * b)
         n_inj = min(self.combine_layer, self.n_blocks)
-
         k_in, b_in = _LinParams(self.d_in, self.d_hidden, name="lin_in")()
         wz, bz = [], []
         for i in range(n_inj):
@@ -245,7 +277,7 @@ class ResnetFC(nn.Module):
             b1.append(b1_i)
         k_out, b_out = _LinParams(self.d_hidden, self.d_out, name="lin_out")()
 
-        weights = ResnetFCWeights(
+        return ResnetFCWeights(
             w_in=k_in,
             b_in=b_in[None, :],
             wz=jnp.stack(wz),
@@ -257,6 +289,45 @@ class ResnetFC(nn.Module):
             w_out=k_out,
             b_out=b_out[None, :],
         )
+
+    def _call_field(self, fi: FieldInput, combine_inner_dims) -> jnp.ndarray:
+        """Fully-fused gather+field path (ops/field_pallas.py): the latent
+        is gathered from the native pyramid inside the megakernel."""
+        from pixelnerf_tpu.ops.field_pallas import pyramid_field_fused
+
+        ns, b = combine_inner_dims
+        m = fi.x.shape[0]
+        assert m % (ns * b) == 0, (m, ns, b)
+        sb = m // (ns * b)
+        assert sum(f.shape[-1] for f in fi.feats) == self.d_latent
+        weights = self._fused_weights()
+        interpret = jax.default_backend() != "tpu"
+        x = fi.x
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            x = x.astype(jnp.float32)
+        out = pyramid_field_fused(
+            tuple(fi.feats),
+            fi.grid.reshape(sb, ns, b, 2),
+            x.reshape(sb, ns, b, -1),
+            weights,
+            self.n_blocks,
+            self.combine_layer,
+            ns,
+            interpret,
+        )
+        return out.reshape(sb * b, self.d_out)
+
+    def _call_pallas(self, z, x, combine_inner_dims) -> jnp.ndarray:
+        """Fused-megakernel path (ops/resnetfc_pallas.py). Parameter tree is
+        identical to the per-layer path via the _LinParams/_BlockParams
+        factories, so the two paths share checkpoints."""
+        from pixelnerf_tpu.ops.resnetfc_pallas import resnetfc_fused
+
+        ns, b = combine_inner_dims
+        m = x.shape[0]
+        assert m % (ns * b) == 0, (m, ns, b)
+        sb = m // (ns * b)
+        weights = self._fused_weights()
         interpret = jax.default_backend() != "tpu"
         if z.dtype not in (jnp.float32, jnp.bfloat16):
             z = z.astype(jnp.float32)

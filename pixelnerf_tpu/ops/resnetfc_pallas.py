@@ -254,6 +254,83 @@ def _fwd_stash_kernel(
     out_ref[0] = out
 
 
+def _backward_tile(
+    z, xin, g_out, relu_bin, relu_h1, relu_xf, w, grads, add,
+    *, n_blocks, combine_layer, ns,
+):
+    """Per-tile MLP backward math from the bf16 activation stash — NO
+    forward remat. Shared by the plain backward kernel below and the fused
+    pyramid-field backward (ops/field_pallas.py).
+
+    :param z (NS*TB, d_latent), xin (NS*TB, d_in), g_out (TB, d_out) f32
+    :param relu_bin/relu_h1 blk -> stashed relu'd activations;
+        relu_xf the stashed final pre-head activation
+    :param grads dict of weight-grad refs (dw_in, db_in, ...); `add`
+        accumulates (name, ref, idx, val) into the caller's pending map
+    :return (g_z (NS*TB, d_latent) f32, d_xin (NS*TB, d_in) f32)
+    """
+    n_inj = min(combine_layer, n_blocks)
+    tb = g_out.shape[0]
+
+    def mask(a):  # bf16 compares are unsupported on v5e Mosaic
+        return a.astype(jnp.float32) > 0.0
+
+    add("db_out", grads["db_out"], 0, jnp.sum(g_out, axis=0))
+    add("dw_out", grads["dw_out"], slice(None), _dot_g(relu_xf, g_out))
+    g_x = _dot_t(g_out, w.w_out) * mask(relu_xf)
+
+    gx_inj = [None] * n_inj  # cotangent at each injection point
+    for blk in reversed(range(n_blocks)):
+        rx = relu_bin(blk)
+        rh = relu_h1(blk)
+        add(f"db1_{blk}", grads["db1"], blk, jnp.sum(g_x, axis=0))
+        add(f"dw1_{blk}", grads["dw1"], blk, _dot_g(rh, g_x))
+        g_h1 = _dot_t(g_x, w.w1[blk]) * mask(rh)
+        add(f"db0_{blk}", grads["db0"], blk, jnp.sum(g_h1, axis=0))
+        add(f"dw0_{blk}", grads["dw0"], blk, _dot_g(rx, g_h1))
+        g_x = g_x + _dot_t(g_h1, w.w0[blk]) * mask(rx)
+        if blk < n_inj:
+            gx_inj[blk] = g_x
+        if blk == combine_layer and ns > 1:
+            # un-pool the multi-view average: broadcast / NS
+            g_x = jnp.broadcast_to(
+                g_x[None] / float(ns), (ns,) + g_x.shape
+            ).reshape(ns * tb, -1)
+
+    if n_inj > 0:
+        # mirrored to the packed forward injection: one wide matmul
+        # each for the latent grad and the packed weight/bias grads
+        gx_cat = jnp.concatenate(gx_inj, axis=-1)  # (M, n_inj*H)
+        add("dbz", grads["dbz"], 0, jnp.sum(gx_cat, axis=0))
+        add("dwz", grads["dwz"], slice(None), _dot_g(z, gx_cat))
+        g_z = _dot_t(gx_cat, w.wz)  # (M, d_latent) f32
+    else:
+        g_z = jnp.zeros(z.shape, jnp.float32)
+
+    add("db_in", grads["db_in"], 0, jnp.sum(g_x, axis=0))
+    add("dw_in", grads["dw_in"], slice(None), _dot_g(xin, g_x))
+    d_xin = _dot_t(g_x, w.w_in)
+    return g_z, d_xin
+
+
+def _stash_getters(spre_ref, spost_ref, k, m, pre_rows, post_rows):
+    """Stash readers for one sub-tile's row slices (shared fwd/bwd layout
+    contract — see _stash_layout)."""
+
+    def relu_bin(blk):
+        if blk < k:
+            return spre_ref[0, blk, pre_rows]
+        return spost_ref[0, blk - k, post_rows]
+
+    def relu_h1(blk):
+        if blk < k:
+            return spre_ref[0, k + blk, pre_rows]
+        return spost_ref[0, m + blk - k, post_rows]
+
+    relu_xf = spost_ref[0, 2 * m, post_rows]
+    return relu_bin, relu_h1, relu_xf
+
+
 def _bwd_kernel(
     z_ref, x_ref, g_ref, *refs, n_blocks, combine_layer, ns, sub,
 ):
@@ -282,13 +359,13 @@ def _bwd_kernel(
     w = ResnetFCWeights(*[r[:] for r in refs[:10]])
     (dz_ref, dxin_ref, dw_in, db_in, dwz, dbz, dw0, db0, dw1, db1,
      dw_out, db_out) = refs[10:]
+    grads = dict(
+        dw_in=dw_in, db_in=db_in, dwz=dwz, dbz=dbz, dw0=dw0, db0=db0,
+        dw1=dw1, db1=db1, dw_out=dw_out, db_out=db_out,
+    )
 
-    n_inj = min(combine_layer, n_blocks)
     stb = z_ref.shape[2]  # sub * tb
     tb = stb // sub
-
-    def mask(a):  # bf16 compares are unsupported on v5e Mosaic
-        return a.astype(jnp.float32) > 0.0
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
     pending = {}
@@ -303,55 +380,15 @@ def _bwd_kernel(
         z = z_ref[0][:, i * tb : (i + 1) * tb, :].reshape(ns * tb, -1)
         xin = x_ref[0][:, i * tb : (i + 1) * tb, :].reshape(ns * tb, -1)
         g_out = g_ref[0][i * tb : (i + 1) * tb]  # (TB, d_out) f32
-        pre_rows = slice(i * ns * tb, (i + 1) * ns * tb)
-        post_rows = slice(i * tb, (i + 1) * tb)
-
-        def relu_bin(blk):
-            if blk < k:
-                return spre_ref[0, blk, pre_rows]
-            return spost_ref[0, blk - k, post_rows]
-
-        def relu_h1(blk):
-            if blk < k:
-                return spre_ref[0, k + blk, pre_rows]
-            return spost_ref[0, m + blk - k, post_rows]
-
-        relu_xf = spost_ref[0, 2 * m, post_rows]
-        add("db_out", db_out, 0, jnp.sum(g_out, axis=0))
-        add("dw_out", dw_out, slice(None), _dot_g(relu_xf, g_out))
-        g_x = _dot_t(g_out, w.w_out) * mask(relu_xf)
-
-        gx_inj = [None] * n_inj  # cotangent at each injection point
-        for blk in reversed(range(n_blocks)):
-            rx = relu_bin(blk)
-            rh = relu_h1(blk)
-            add(f"db1_{blk}", db1, blk, jnp.sum(g_x, axis=0))
-            add(f"dw1_{blk}", dw1, blk, _dot_g(rh, g_x))
-            g_h1 = _dot_t(g_x, w.w1[blk]) * mask(rh)
-            add(f"db0_{blk}", db0, blk, jnp.sum(g_h1, axis=0))
-            add(f"dw0_{blk}", dw0, blk, _dot_g(rx, g_h1))
-            g_x = g_x + _dot_t(g_h1, w.w0[blk]) * mask(rx)
-            if blk < n_inj:
-                gx_inj[blk] = g_x
-            if blk == combine_layer and ns > 1:
-                # un-pool the multi-view average: broadcast / NS
-                g_x = jnp.broadcast_to(
-                    g_x[None] / float(ns), (ns,) + g_x.shape
-                ).reshape(ns * tb, -1)
-
-        if n_inj > 0:
-            # mirrored to the packed forward injection: one wide matmul
-            # each for the latent grad and the packed weight/bias grads
-            gx_cat = jnp.concatenate(gx_inj, axis=-1)  # (M, n_inj*H)
-            add("dbz", dbz, 0, jnp.sum(gx_cat, axis=0))
-            add("dwz", dwz, slice(None), _dot_g(z, gx_cat))
-            g_z = _dot_t(gx_cat, w.wz)  # (M, d_latent) f32
-        else:
-            g_z = jnp.zeros(z.shape, jnp.float32)
-
-        add("db_in", db_in, 0, jnp.sum(g_x, axis=0))
-        add("dw_in", dw_in, slice(None), _dot_g(xin, g_x))
-        d_xin = _dot_t(g_x, w.w_in)
+        relu_bin, relu_h1, relu_xf = _stash_getters(
+            spre_ref, spost_ref, k, m,
+            slice(i * ns * tb, (i + 1) * ns * tb),
+            slice(i * tb, (i + 1) * tb),
+        )
+        g_z, d_xin = _backward_tile(
+            z, xin, g_out, relu_bin, relu_h1, relu_xf, w, grads, add,
+            n_blocks=n_blocks, combine_layer=combine_layer, ns=ns,
+        )
         dz_ref[0, :, i * tb : (i + 1) * tb, :] = (
             g_z.reshape(ns, tb, -1).astype(dz_ref.dtype)
         )
