@@ -176,6 +176,39 @@ def write_dvr_cameras(
     return path
 
 
+def write_dtu_cameras(
+    obj_dir: str, poses: np.ndarray, focal_px: float, size: int
+) -> str:
+    """cameras.npz in the DTU layout: `world_mat_i` is the full 4x4
+    projection P = K @ [R | t] in PIXEL units (reference DVRDataset.py
+    dtu branch decomposes it with cv2.decomposeProjectionMatrix at
+    :157-171). Derivation inverts the loader exactly: it builds
+    pose_dec = [R^T | center] from the decomposition and returns
+    T @ pose_dec @ T with T = diag(1,-1,-1,1), so for OpenGL c2w `poses`
+    we write P from pose_dec = T @ pose @ T. No scale_mat (identity
+    normalization)."""
+    T = np.diag([1.0, -1.0, -1.0, 1.0])
+    K = np.array(
+        [
+            [focal_px, 0.0, size / 2.0],
+            [0.0, focal_px, size / 2.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    cams = {}
+    for i, pose in enumerate(np.asarray(poses, dtype=np.float64)):
+        pose_dec = T @ pose @ T
+        R = pose_dec[:3, :3].T  # world->cam rotation
+        center = pose_dec[:3, 3]
+        w2c = np.concatenate([R, -(R @ center)[:, None]], axis=1)  # (3,4)
+        P = np.eye(4)
+        P[:3] = K @ w2c
+        cams[f"world_mat_{i}"] = P.astype(np.float32)
+    path = os.path.join(obj_dir, "cameras.npz")
+    np.savez(path, **cams)
+    return path
+
+
 def write_srn_intrinsics(
     obj_dir: str, focal: float, size: int, cx: Optional[float] = None,
     cy: Optional[float] = None,

@@ -38,6 +38,7 @@ from pixelnerf_tpu.tools.camera_gen import (
     archimedes_spiral_poses,
     fibonacci_sphere,
     hemisphere_poses,
+    write_dtu_cameras,
     write_dvr_cameras,
     write_srn_intrinsics,
     write_transforms_json,
@@ -47,9 +48,9 @@ from pixelnerf_tpu.utils.cameras import look_at
 # format-canonical camera radii: srn matches the pollen generator; dvr and
 # multi_obj sit mid-way in their loaders' fixed z ranges (dvr.py z 1.2-4.0,
 # multi_obj.py z 4-9)
-_RADIUS = {"srn": 1.3, "dvr": 2.6, "multi_obj": 6.5}
+_RADIUS = {"srn": 1.3, "dvr": 2.6, "multi_obj": 6.5, "dtu": 2.5}
 # scene radius (sphere centers + radii) scales with the camera distance
-_SCENE_SCALE = {"srn": 1.0, "dvr": 2.0, "multi_obj": 4.0}
+_SCENE_SCALE = {"srn": 1.0, "dvr": 2.0, "multi_obj": 4.0, "dtu": 2.0}
 
 
 def render_scene(pose, focal, size, spheres):
@@ -119,7 +120,7 @@ def main(argv=None):
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--name", type=str, default="shapes")
     parser.add_argument(
-        "--format", choices=("srn", "multi_obj", "dvr"), default="srn"
+        "--format", choices=("srn", "multi_obj", "dvr", "dtu"), default="srn"
     )
     parser.add_argument("--n_objs", type=int, default=10)
     parser.add_argument("--n_views", type=int, default=50)
@@ -202,8 +203,11 @@ def main(argv=None):
                 model_ids=[f"obj{obj:04d}"],
             )
 
-        else:  # dvr
-            obj_name = f"obj{obj:04d}"
+        else:  # dvr (NMR-ShapeNet) or dtu — same dir layout, different
+            # cameras.npz convention and split-list prefix
+            obj_name = (
+                f"scan{obj:d}" if args.format == "dtu" else f"obj{obj:04d}"
+            )
             obj_dir = os.path.join(datadir, "synth", obj_name)
             os.makedirs(os.path.join(obj_dir, "image"), exist_ok=True)
             os.makedirs(os.path.join(obj_dir, "mask"), exist_ok=True)
@@ -216,16 +220,21 @@ def main(argv=None):
                 imageio.imwrite(
                     os.path.join(obj_dir, "mask", f"{v:04d}.png"), alpha
                 )
-            write_dvr_cameras(obj_dir, poses, focal, args.size)
+            if args.format == "dtu":
+                write_dtu_cameras(obj_dir, poses, focal, args.size)
+            else:
+                write_dvr_cameras(obj_dir, poses, focal, args.size)
             dvr_splits[split].append(obj_name)
 
         print(f"obj {obj} ({split}): {args.n_views} views")
 
-    if args.format == "dvr":
+    if args.format in ("dvr", "dtu"):
+        # dvr_dtu's factory flags select list_prefix="new_" (data/__init__.py)
+        prefix = "new_" if args.format == "dtu" else "softras_"
         cat_dir = os.path.join(datadir, "synth")
         for split, names in dvr_splits.items():
             with open(
-                os.path.join(cat_dir, f"softras_{split}.lst"), "w"
+                os.path.join(cat_dir, f"{prefix}{split}.lst"), "w"
             ) as f:
                 f.write("\n".join(names) + ("\n" if names else ""))
     print("Wrote dataset to", datadir)
