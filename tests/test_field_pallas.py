@@ -57,7 +57,7 @@ def _mk_weights(rng, d_in, d_latent, d_hidden, d_out, n_blocks, n_inj):
 @pytest.mark.parametrize(
     "sb,ns,b,n_blocks,combine_layer",
     [
-        (2, 2, 48, 5, 3),
+        (2, 2, 32, 5, 3),
         (1, 1, 32, 3, 1000),  # single view, inject everywhere
         (1, 3, 50, 4, 2),  # pad path: 50 % tile != 0
     ],
@@ -66,7 +66,7 @@ def test_fused_matches_two_kernel_composition(sb, ns, b, n_blocks, combine_layer
     """Forward AND all gradients must match the unfused composition
     bit-for-bit: the fused kernel re-uses the same arithmetic (one-hot
     gather, bf16 cast points, stash backward)."""
-    d_in, d_hidden, d_out = 42, 64, 4
+    d_in, d_hidden, d_out = 42, 32, 4
     shapes = [(8, 8, 16), (4, 4, 24), (2, 2, 32)]
     d_latent = sum(c for (_, _, c) in shapes)
     rng = np.random.default_rng(0)
@@ -206,7 +206,7 @@ def test_model_query_fused_field_matches_xla(monkeypatch):
         """
     )
     rng = np.random.default_rng(3)
-    SB, NS, B = 1, 2, 40
+    SB, NS, B = 1, 2, 24
     images = jnp.asarray(
         rng.uniform(-1, 1, size=(SB, NS, 32, 32, 3)).astype(np.float32)
     )
