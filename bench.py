@@ -36,7 +36,17 @@ WARMUP = 2
 ITERS = 4
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--rays", type=int, default=RAYS_PER_OBJ,
+        help="rays per object; non-default values are measured against the "
+        "same recorded 1024-ray baseline (PERFORMANCE.md MFU table)",
+    )
+    args = parser.parse_args(argv)
+    rays_per_obj = args.rays
     import jax
     import jax.numpy as jnp
     import optax
@@ -72,7 +82,7 @@ def main() -> None:
     state = create_train_state(variables, tx)
     train_step = jax.jit(
         make_train_step(
-            model, rcfg, tx, num_rays=RAYS_PER_OBJ, z_near=0.8, z_far=1.8,
+            model, rcfg, tx, num_rays=rays_per_obj, z_near=0.8, z_far=1.8,
         )
     )
 
@@ -96,12 +106,14 @@ def main() -> None:
     _ = float(aux["t"])
     dt = time.perf_counter() - t0
 
-    total_rays = SB * RAYS_PER_OBJ * ITERS
+    total_rays = SB * rays_per_obj * ITERS
     rays_per_s = total_rays / dt
 
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)["value"]
+    elif rays_per_obj != RAYS_PER_OBJ:
+        base = rays_per_s  # never record a non-default shape as the baseline
     else:
         base = rays_per_s
         with open(BASELINE_PATH, "w") as f:

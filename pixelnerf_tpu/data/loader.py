@@ -52,13 +52,23 @@ class BatchLoader:
         prefetch: bool = True,
         num_shards: int = 1,
         shard_id: int = 0,
+        cache_images: bool = False,
     ):
         """:param num_shards/shard_id multi-host input sharding: every host
         constructs the loader with the same seed and
         (jax.process_count(), jax.process_index()); the shuffled epoch
         order is identical across hosts (same rng) and each host loads a
         disjoint interleaved slice — the per-host part of the global
-        object batch (SURVEY §7 step 7)."""
+        object batch (SURVEY §7 step 7).
+
+        :param cache_images keep every fetched per-object dict in RAM with
+        the float `images` array re-quantized to uint8, so epochs after the
+        first skip PNG decode entirely (on this box decode is ~60% of the
+        wall step). Exact for straight u8 decodes (SRN); alpha-composited /
+        area-resized images shift <= 1/255 per channel — the same tolerance
+        as the compact wire format. Do NOT enable under per-epoch
+        augmentation (ColorJitterDataset): the cache would freeze the
+        jitter of the first epoch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -67,6 +77,7 @@ class BatchLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self._rng = np.random.default_rng(seed)
+        self._cache: Optional[Dict[int, dict]] = {} if cache_images else None
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_shards
@@ -90,8 +101,31 @@ class BatchLoader:
             batches.pop()
         return batches
 
+    def _get(self, i: int) -> dict:
+        if self._cache is None:
+            return self.dataset[i]
+        item = self._cache.get(i)
+        if item is None:
+            item = dict(self.dataset[i])
+            img = item.get("images")
+            if isinstance(img, np.ndarray) and img.dtype == np.float32:
+                # [-1, 1] float <-> uint8: exact inverse of the decoders'
+                # img / 127.5 - 1 mapping
+                item["images"] = np.rint(
+                    np.clip((img + 1.0) * 127.5, 0.0, 255.0)
+                ).astype(np.uint8)
+                item["_images_u8"] = True
+            self._cache[i] = item
+        if item.get("_images_u8"):
+            item = dict(item)
+            del item["_images_u8"]
+            item["images"] = (
+                item["images"].astype(np.float32) / 127.5 - 1.0
+            )
+        return item
+
     def _load(self, batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
-        return collate([self.dataset[int(i)] for i in batch_idx])
+        return collate([self._get(int(i)) for i in batch_idx])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._index_batches()

@@ -54,6 +54,12 @@ def extra_args(parser):
         "(the reference's finetune_resnet.py staged warmup)",
     )
     parser.add_argument(
+        "--cache_images", action="store_true",
+        help="Cache decoded per-object images in RAM (uint8) so epochs "
+        "after the first skip PNG decode; ignored (with a warning) when "
+        "the dataset applies per-epoch augmentation",
+    )
+    parser.add_argument(
         "--spmd_mode", choices=("shard_map", "gspmd"), default="shard_map",
         help="Multi-chip execution: explicit shard_map SPMD (supports the "
         "fused Pallas field MLP) or GSPMD auto-partitioning",
@@ -78,7 +84,12 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from pixelnerf_tpu.data import BatchLoader, get_split_dataset, make_step_batch
+    from pixelnerf_tpu.data import (
+        BatchLoader,
+        ColorJitterDataset,
+        get_split_dataset,
+        make_step_batch,
+    )
     from pixelnerf_tpu.eval.render_utils import render_full
     from pixelnerf_tpu.models.losses import (
         alpha_loss_from_conf,
@@ -163,9 +174,16 @@ def main(argv=None):
     # multi-host: each process loads its disjoint slice of the global batch
     # (same seed everywhere -> same shuffle; interleaved shards)
     nproc, pid = jax.process_count(), jax.process_index()
+    cache_images = args.cache_images
+    if cache_images and isinstance(dset, ColorJitterDataset):
+        print(
+            "WARNING: --cache_images disabled: dataset applies per-epoch "
+            "color jitter which a cache would freeze"
+        )
+        cache_images = False
     train_loader = BatchLoader(
         dset, args.batch_size, shuffle=True, seed=0,
-        num_shards=nproc, shard_id=pid,
+        num_shards=nproc, shard_id=pid, cache_images=cache_images,
     )
     test_loader = BatchLoader(
         val_dset, min(args.batch_size, 16), shuffle=True, seed=1,

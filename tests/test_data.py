@@ -172,3 +172,39 @@ def test_batchloader_multihost_sharding():
     for a in range(4):
         for b in range(a + 1, 4):
             assert not (seen[a] & seen[b])
+
+
+def test_batch_loader_image_cache():
+    """cache_images: the dataset is hit once per object across epochs and
+    the u8 round-trip is exact for straight uint8-decode images."""
+    import numpy as np
+
+    from pixelnerf_tpu.data.loader import BatchLoader
+
+    calls = []
+
+    class CountingDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            calls.append(i)
+            rng = np.random.default_rng(i)
+            u8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+            return {
+                "images": u8.astype(np.float32) / 127.5 - 1.0,
+                "poses": np.eye(4, dtype=np.float32)[None].repeat(2, 0),
+                "focal": np.float32(8.0),
+            }
+
+    loader = BatchLoader(
+        CountingDataset(), batch_size=2, shuffle=False, prefetch=False,
+        cache_images=True,
+    )
+    first = [b["images"].copy() for b in loader]
+    assert sorted(calls) == [0, 1, 2, 3]
+    second = [b["images"] for b in loader]
+    assert sorted(calls) == [0, 1, 2, 3]  # no re-decode on epoch 2
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+        assert b.dtype == np.float32

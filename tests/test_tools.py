@@ -276,3 +276,129 @@ def test_make_synthetic_dataset_dtu(tmp_path):
     vobj = val[0]
     expect = archimedes_spiral_poses(4, 2.5)
     np.testing.assert_allclose(np.asarray(vobj["poses"]), expect, atol=1e-4)
+
+
+def _write_binary_stl(path, tris):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            n = np.cross(t[1] - t[0], t[2] - t[0])
+            n = n / max(np.linalg.norm(n), 1e-12)
+            f.write(np.asarray(n, "<f4").tobytes())
+            f.write(np.asarray(t, "<f4").tobytes())
+            f.write(struct.pack("<H", 0))
+
+
+def _octahedron():
+    v = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        dtype=np.float32,
+    )
+    faces = [
+        (0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+        (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5),
+    ]
+    return np.stack([v[list(f)] for f in faces])
+
+
+def test_stl_reader_roundtrip(tmp_path):
+    from pixelnerf_tpu.tools.stl_render_dataset import read_stl
+
+    tris = _octahedron()
+    bin_path = str(tmp_path / "oct.stl")
+    _write_binary_stl(bin_path, tris)
+    np.testing.assert_allclose(read_stl(bin_path), tris, atol=0)
+
+    # ASCII flavor
+    lines = ["solid oct"]
+    for t in tris:
+        lines += ["facet normal 0 0 0", "outer loop"]
+        lines += [f"vertex {x} {y} {z}" for x, y, z in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid oct")
+    asc_path = str(tmp_path / "oct_ascii.stl")
+    with open(asc_path, "w") as f:
+        f.write("\n".join(lines))
+    np.testing.assert_allclose(read_stl(asc_path), tris, atol=0)
+
+
+def test_stl_render_mesh_geometry():
+    """Center ray hits the octahedron (depth = radius - 0.55 shell), corner
+    rays miss; silhouette is centered."""
+    from pixelnerf_tpu.tools.stl_render_dataset import normalize_mesh, render_mesh
+    from pixelnerf_tpu.utils.cameras import look_at
+
+    tris = normalize_mesh(_octahedron() * 3.7)  # scale is normalized away
+    pose = look_at(np.array([0.0, 0.0, 1.3]), np.zeros(3))
+    rgb, alpha = render_mesh(pose, 32.0, 32, tris, np.array([0.8, 0.3, 0.3]))
+    assert alpha[16, 16] == 255 and alpha[0, 0] == 0
+    assert (rgb[alpha == 0] == 255).all()  # white background
+    ys, xs = np.nonzero(alpha)
+    assert abs(ys.mean() - 15.5) < 1.0 and abs(xs.mean() - 15.5) < 1.0
+
+
+def test_stl_render_dataset_loads_as_pollen(tmp_path):
+    """End-to-end Blender_cli counterpart: 10 STLs -> SRN/pollen layout ->
+    data/srn.py with near_far override (8:1:1 split, radius-1.3 rig)."""
+    from pixelnerf_tpu.data import get_split_dataset
+    from pixelnerf_tpu.tools.stl_render_dataset import main
+
+    tris = _octahedron()
+    paths = []
+    for i in range(10):
+        p = str(tmp_path / f"mesh{i:02d}.stl")
+        _write_binary_stl(p, tris * (0.5 + 0.1 * i))
+        paths.append(p)
+    main(
+        ["--stl", *paths, "--out", str(tmp_path), "--name", "pol",
+         "--n_views", "3", "--size", "24"]
+    )
+    datadir = str(tmp_path / "pol")
+    train = get_split_dataset("pollen", datadir, want_split="train",
+                              image_size=(24, 24))
+    test = get_split_dataset("pollen", datadir, want_split="test",
+                             image_size=(24, 24), training=False)
+    assert len(train) == 8 and len(test) == 1
+    obj = train[0]
+    assert obj["images"].shape == (3, 24, 24, 3)
+    assert obj["images"].min() < 0.5  # object pixels present
+    assert (obj["bbox"][:, 2] > obj["bbox"][:, 0]).all()
+    # near_far.txt honored: radius 1.3 +- 0.65 shell
+    np.testing.assert_allclose(train.z_near, 0.65, atol=1e-6)
+    np.testing.assert_allclose(train.z_far, 1.95, atol=1e-6)
+    # loader pose (post-flip) matches the generator rig: |center| = 1.3
+    centers = np.asarray(obj["poses"][:, :3, 3])
+    np.testing.assert_allclose(np.linalg.norm(centers, axis=-1), 1.3, atol=1e-5)
+
+
+def test_flatten_alpha(tmp_path):
+    """RGBA -> white-composited RGB, dataset-tree walk + single-file modes
+    (reference data/flatt_white.py, input/normales.py)."""
+    import imageio.v2 as imageio
+
+    from pixelnerf_tpu.tools.flatten_alpha import main
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[2:6, 2:6] = [200, 40, 40, 255]   # opaque red square
+    rgba[0, 0] = [10, 10, 10, 0]          # fully transparent -> white
+    rgba[7, 7] = [0, 0, 0, 128]           # half black over white -> ~127
+    tree = tmp_path / "pol" / "pol_train" / "obj0" / "rgb"
+    os.makedirs(tree)
+    imageio.imwrite(str(tree / "000000.png"), rgba)
+    n = main(["--root", str(tmp_path / "pol")])
+    assert n == 1
+    out = np.asarray(imageio.imread(str(tree / "000000.png")))
+    assert out.shape == (8, 8, 3)
+    assert (out[0, 0] == 255).all() and (out[2, 2] == [200, 40, 40]).all()
+    assert abs(int(out[7, 7, 0]) - 127) <= 1
+
+    # single file with --out: source untouched
+    src = str(tmp_path / "one.png")
+    dst = str(tmp_path / "one_rgb.png")
+    imageio.imwrite(src, rgba)
+    assert main([src, "--out", dst]) == 1
+    assert np.asarray(imageio.imread(src)).shape[-1] == 4
+    assert np.asarray(imageio.imread(dst)).shape[-1] == 3
