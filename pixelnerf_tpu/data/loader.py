@@ -119,6 +119,10 @@ class BatchLoader:
         if item.get("_images_u8"):
             item = dict(item)
             del item["_images_u8"]
+            # keep the raw u8 alongside the floats: the compact wire
+            # format (make_step_batch compact_transfer) sends exactly
+            # this array, skipping its f32 -> u8 re-quantize pass
+            item["images_u8"] = item["images"]
             item["images"] = (
                 item["images"].astype(np.float32) / 127.5 - 1.0
             )
@@ -201,9 +205,13 @@ def make_step_batch(
         )
 
     if compact_transfer:
-        u8 = np.clip((images.astype(np.float32) + 1.0) * 127.5, 0, 255)
+        if "images_u8" in data:  # cache-fed loader: already quantized
+            images_u8 = np.asarray(data["images_u8"])
+        else:
+            u8 = np.clip((images.astype(np.float32) + 1.0) * 127.5, 0, 255)
+            images_u8 = np.rint(u8).astype(np.uint8)
         batch = {
-            "images_u8": np.rint(u8).astype(np.uint8),
+            "images_u8": images_u8,
             "image_ord": image_ord.astype(np.int32),
             "poses": data["poses"].astype(np.float32),
             "focal": focal,

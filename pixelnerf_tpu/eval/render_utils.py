@@ -30,7 +30,9 @@ def make_chunk_renderer(model, rcfg: RendererConfig, chunk: int):
     unaffected (same tree); the clone is a static-flag change only."""
     try:
         model = model.clone(use_field_fusion=True)
-    except AttributeError:  # non-PixelNeRFNet models
+    except (AttributeError, TypeError):
+        # non-PixelNeRFNet models: flax clone() raises TypeError for an
+        # unknown dataclass field (AttributeError if clone is absent)
         pass
 
     @jax.jit
@@ -52,11 +54,19 @@ def render_full(
     enc,
     rays: np.ndarray,
     rcfg: RendererConfig,
-    chunk: int = 65536,
+    chunk: int = 16384,
     seed: int = 0,
     renderer=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Render (B, 8) rays in fixed-size chunks.
+
+    The default chunk is sized for the worst case — the two-kernel
+    fallback path materializes the (chunk x samples, d_latent) gathered
+    latent in HBM (2-3 GB at 16k rays). When the fully-fused field path
+    applies (TPU, bf16 pyramid, fused-friendly config — see
+    PixelNeRFNet._field_fused_ok) pass chunk=65536: the latent never
+    materializes and the larger chunk is ~25% faster (PERFORMANCE.md
+    round 2). The CLIs pass their own chunk (`--ray_chunk`).
 
     :return {'coarse': {'rgb' (B,3), 'depth' (B,), 'alpha' (B,)}, 'fine': ...}
     """

@@ -88,6 +88,7 @@ class RendererConfig:
             white_bkgd=bool(conf.get_float("white_bkgd", white_bkgd)),
             lindisp=lindisp,
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
+            perturb=conf.get_float("perturb", 1.0),
             sched=tuple(tuple(s) for s in sched) if sched else (),
         )
 

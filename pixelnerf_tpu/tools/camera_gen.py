@@ -40,6 +40,7 @@ __all__ = [
     "archimedes_spiral_poses",
     "write_transforms_json",
     "write_dvr_cameras",
+    "write_dtu_cameras",
     "write_srn_intrinsics",
 ]
 

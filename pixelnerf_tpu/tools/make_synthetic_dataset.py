@@ -1,4 +1,4 @@
-"""Offline synthetic dataset generator (dependency-free, three layouts).
+"""Offline synthetic dataset generator (dependency-free, four layouts).
 
 Capability counterpart of the reference's Blender/VTK dataset generators —
 the renderer-independent pose math and metadata writers live in
@@ -21,6 +21,10 @@ Layouts (--format):
   softras_<stage>.lst split lists (DVRDataset.py:44-62,182-202); same
   hemisphere/spiral camera distributions. Loadable by data/dvr.py
   (formats dvr / sn64-style configs).
+* ``dtu`` — DTU layout: scan<N>/{image/,mask/,cameras.npz} with
+  world_mat P = K[R|t] projection matrices + new_<stage>.lst lists
+  (DVRDataset.py dtu branch: cv2/RQ decomposition, diag(1,-1,-1,1)
+  conjugation). Loadable by data/dvr.py format dvr_dtu.
 
 Run:
     python -m pixelnerf_tpu.tools.make_synthetic_dataset --out /tmp/synth \

@@ -203,8 +203,24 @@ def test_batch_loader_image_cache():
     )
     first = [b["images"].copy() for b in loader]
     assert sorted(calls) == [0, 1, 2, 3]
-    second = [b["images"] for b in loader]
+    second = list(loader)
     assert sorted(calls) == [0, 1, 2, 3]  # no re-decode on epoch 2
     for a, b in zip(first, second):
-        np.testing.assert_array_equal(a, b)
-        assert b.dtype == np.float32
+        np.testing.assert_array_equal(a, b["images"])
+        assert b["images"].dtype == np.float32
+        # raw u8 rides along for the compact wire format
+        assert b["images_u8"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            b["images_u8"],
+            np.rint((b["images"] + 1.0) * 127.5).astype(np.uint8),
+        )
+
+    # make_step_batch's compact path sends the cached u8 verbatim
+    from pixelnerf_tpu.data.loader import make_step_batch
+
+    data = second[0]
+    data["focal"] = np.full((2,), 8.0, np.float32)
+    sb = make_step_batch(
+        data, np.random.default_rng(0), nviews=[2], compact_transfer=True
+    )
+    np.testing.assert_array_equal(sb["images_u8"], data["images_u8"])

@@ -125,3 +125,14 @@ def test_schedule_at_iteration():
     assert cfg.at_iteration(150).n_fine == 16
     assert cfg.at_iteration(250).n_coarse == 16
     assert cfg.at_iteration(250).n_fine == 8
+
+
+def test_renderer_config_parses_perturb():
+    from pixelnerf_tpu.render.renderer import RendererConfig
+    from pixelnerf_tpu.utils.hocon import loads
+
+    conf = loads("renderer { n_coarse = 8\nperturb = 0.0 }")
+    cfg = RendererConfig.from_conf(conf.get_config("renderer"))
+    assert cfg.perturb == 0.0
+    cfg = RendererConfig.from_conf(loads("r { n_coarse = 8 }").get_config("r"))
+    assert cfg.perturb == 1.0

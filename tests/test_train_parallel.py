@@ -108,7 +108,6 @@ def test_sample_rays_bbox_restricts_pixels():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_overfit_tiny_scene():
     """End-to-end slice: loss decreases when overfitting one tiny scene."""
     model = _tiny_model()
@@ -145,7 +144,6 @@ def test_parse_mesh_spec():
         parse_mesh_spec("data:3,rays:4", 8)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """One sharded train step must equal the unsharded step numerically."""
