@@ -402,3 +402,27 @@ def test_flatten_alpha(tmp_path):
     assert main([src, "--out", dst]) == 1
     assert np.asarray(imageio.imread(src)).shape[-1] == 4
     assert np.asarray(imageio.imread(dst)).shape[-1] == 3
+
+
+def test_xprof_summary_bucketize():
+    """Hot-unit bucketing: first matching pattern wins, unmatched -> other."""
+    from pixelnerf_tpu.tools.xprof_summary import bucketize
+
+    per_op = {
+        "%mlp_fine._call_pallas.3 = bf16[...]": 10.0,
+        "%mlp_coarse._call_pallas.2 = f32[...]": 5.0,
+        "%encoder_index.5 = custom-call(...)": 3.0,  # pyramid gather kernel
+        "%convolution.42 = bf16[...]": 2.0,
+        "%sort.7 = f32[...]": 1.0,
+        "%copy-start.1 = (...) ": 0.5,
+        "%fusion.99 = add(...)": 0.25,
+        "%weird-op.1": 0.125,
+    }
+    b = bucketize(per_op)
+    assert b["field MLP kernel"] == 15.0
+    assert b["pyramid gather/scatter kernels"] == 3.0
+    assert b["encoder convolutions"] == 2.0
+    assert b["sort"] == 1.0
+    assert b["host/device transfers"] == 0.5
+    assert b["other"] == 0.125
+    assert abs(sum(b.values()) - sum(per_op.values())) < 1e-9
