@@ -48,7 +48,9 @@ def main(argv=None):
     from pixelnerf_tpu.utils.rays import gen_rays
     from pixelnerf_tpu.utils.recon import eval_sigma_grid, save_stl
 
-    args, conf = util_config.parse_args(extra_args, argv=argv)
+    args, conf = util_config.parse_args(
+        extra_args, default_ray_batch_size=16384, argv=argv
+    )
     args.resume = True
 
     model, variables, dset, rcfg = load_model_and_dataset(args, conf, args.split)

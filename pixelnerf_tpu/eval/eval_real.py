@@ -51,7 +51,9 @@ def main(argv=None):
     from pixelnerf_tpu.utils.cameras import coord_from_blender, pose_spherical
     from pixelnerf_tpu.utils.rays import gen_rays
 
-    args, conf = util_config.parse_args(extra_args, argv=argv)
+    args, conf = util_config.parse_args(
+        extra_args, default_ray_batch_size=16384, argv=argv
+    )
     args.resume = True
 
     in_sz = args.size

@@ -37,6 +37,11 @@ def parse_args(
     default_lr: float = 1e-4,
     default_gamma: float = 1.00,
     default_datadir: str = "data",
+    # eval CLIs pass 16384: the largest render chunk that cannot OOM a
+    # 16 GB chip even on the two-kernel fallback path, where the
+    # (chunk x samples, 512) gathered latent materializes in HBM (an f32
+    # config at 50k rays compiles to a >30 GB program). bf16 fused-field
+    # configs can pass -R 65536 for ~25% more throughput (PERFORMANCE.md).
     default_ray_batch_size: int = 50000,
     argv=None,
 ) -> Tuple[argparse.Namespace, ConfigTree]:

@@ -426,3 +426,24 @@ def test_xprof_summary_bucketize():
     assert b["host/device transfers"] == 0.5
     assert b["other"] == 0.125
     assert abs(sum(b.values()) - sum(per_op.values())) < 1e-9
+
+
+def test_eval_cli_safe_ray_chunk_default():
+    """Eval CLIs default to a 16384-ray chunk — the largest that cannot
+    OOM a 16 GB chip on the two-kernel fallback path (an f32 config at
+    the old 50k default compiled to a >30 GB program)."""
+    from pixelnerf_tpu.utils import config as util_config
+
+    args, _ = util_config.parse_args(
+        None, default_ray_batch_size=16384,
+        argv=["-n", "x", "-c", "conf/exp/sn64.conf", "-D", "/tmp"],
+    )
+    assert args.ray_batch_size == 16384
+    # and the eval mains actually pass it
+    import inspect
+
+    for mod in ("eval_approx", "eval_mesh", "eval_real", "gen_video"):
+        src = inspect.getsource(
+            __import__(f"pixelnerf_tpu.eval.{mod}", fromlist=["main"])
+        )
+        assert "default_ray_batch_size=16384" in src, mod
