@@ -54,6 +54,12 @@ def extra_args(parser):
         "(the reference's finetune_resnet.py staged warmup)",
     )
     parser.add_argument(
+        "--vis_debug", action="store_true",
+        help="At each vis interval also write a sigma z=0-slice heatmap "
+        "under visuals/<exp>/vis_debug (the fork's per-step debug "
+        "figures, reference train/train.py:403-433)",
+    )
+    parser.add_argument(
         "--cache_images", action="store_true",
         help="Cache decoded per-object images in RAM (uint8) so epochs "
         "after the first skip PNG decode; ignored (with a warning) when "
@@ -154,6 +160,15 @@ def main(argv=None):
     )
 
     rcfg0 = RendererConfig.from_conf(conf["renderer"], lindisp=dset.lindisp)
+
+    if args.vis_debug:
+
+        @jax.jit
+        def _sigma_slice(vs, enc, pts):
+            xyz = pts[None]  # (1, N, 3)
+            vd = jnp.zeros_like(xyz) if model.use_viewdirs else None
+            out = model.apply(vs, enc, xyz, vd, True, method="query")
+            return out[0, :, 3]
 
     loss_conf = conf.get_config("loss")
     lambda_coarse = loss_conf.get_float("lambda_coarse", 1.0)
@@ -458,6 +473,30 @@ def main(argv=None):
 
             psnr = metrics.psnr(rgb_psnr, gt)
             print("vis psnr:", psnr)
+
+            if args.vis_debug:
+                # sigma z=0 cross-section heatmap (the fork's vis_debug
+                # sigma z-slice figure, reference train/train.py:403-433)
+                S = 64
+                h = (dset.z_far - dset.z_near) / 2.0
+                ax = np.linspace(-h, h, S, dtype=np.float32)
+                gx, gy = np.meshgrid(ax, ax, indexing="xy")
+                pts = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+                sl = np.asarray(
+                    _sigma_slice(vs, enc, jnp.asarray(pts))
+                ).reshape(S, S)
+                sl = sl / max(float(sl.max()), 1e-6)
+                debug_dir = os.path.join(self.visual_path, "vis_debug")
+                os.makedirs(debug_dir, exist_ok=True)
+                import imageio.v2 as imageio
+
+                imageio.imwrite(
+                    os.path.join(
+                        debug_dir, f"{global_step:07d}_sigma_z0.png"
+                    ),
+                    cmap(sl),
+                )
+
             return vis, {"psnr": psnr}
 
         def extra_save_state(self):

@@ -81,7 +81,8 @@ def test_train_cli_end_to_end(workspace):
 
     main(
         _common_args(workspace, "t1")
-        + ["-V", "2", "-B", "2", "-R", "16", "--epochs", "2", "--vis_chunk", "256"]
+        + ["-V", "2", "-B", "2", "-R", "16", "--epochs", "2", "--vis_chunk", "256",
+           "--vis_debug"]
     )
     ckpt_dir = os.path.join(workspace["root"], "ckpt", "t1")
     assert os.path.exists(os.path.join(ckpt_dir, "pixel_nerf_latest"))
@@ -90,6 +91,9 @@ def test_train_cli_end_to_end(workspace):
     assert meta["iter"] >= 1
     vis_dir = os.path.join(workspace["root"], "vis", "t1")
     assert any(f.endswith("_vis.png") for f in os.listdir(vis_dir))
+    # --vis_debug: sigma z=0-slice heatmaps (fork train.py:403-433)
+    dbg = os.listdir(os.path.join(vis_dir, "vis_debug"))
+    assert any(f.endswith("_sigma_z0.png") for f in dbg)
 
 
 @pytest.mark.slow
