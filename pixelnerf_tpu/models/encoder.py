@@ -76,25 +76,84 @@ def pyramid_fused_ok(
     return pyramid_supported(levels[0].shape[1:3])
 
 
+def _resize_levels(levels, target_hw, upsample_interp, index_interp):
+    """Resize native levels to `target_hw` with the reference's upsample
+    mode selection (reference encoder.py:151-160
+    F.interpolate(mode=self.upsample_interp); the align_corners quirk keys
+    on index_interp == `"nearest "` INCLUDING the trailing space — that
+    comparison is the reference's)."""
+    if upsample_interp.startswith("nearest"):
+        return [resize_nearest(l, target_hw) for l in levels]
+    align = None if index_interp == "nearest " else True
+    return [
+        resize_bilinear(l, target_hw, align_corners=bool(align))
+        for l in levels
+    ]
+
+
 def compose_pyramid(
     levels, upsample_interp: str = "bilinear", index_interp: str = "bilinear"
 ) -> jnp.ndarray:
     """Materialize the reference's upsampled feature pyramid from native
-    levels: every level resized with `upsample_interp` (reference
-    encoder.py:151-160 F.interpolate(mode=self.upsample_interp); the
-    align_corners quirk keys on index_interp == `"nearest "` INCLUDING the
-    trailing space — that comparison is the reference's) to level 0's
+    levels: every level resized with `upsample_interp` to level 0's
     resolution, then channel-concatenated."""
-    target_hw = levels[0].shape[1:3]
-    if upsample_interp.startswith("nearest"):
-        ups = [resize_nearest(l, target_hw) for l in levels]
-    else:
-        align = None if index_interp == "nearest " else True
-        ups = [
-            resize_bilinear(l, target_hw, align_corners=bool(align))
-            for l in levels
-        ]
-    return jnp.concatenate(ups, axis=-1)
+    return jnp.concatenate(
+        _resize_levels(levels, levels[0].shape[1:3], upsample_interp,
+                       index_interp),
+        axis=-1,
+    )
+
+
+def pack_pyramid_levels(
+    levels,
+    upsample_interp: str = "bilinear",
+    index_interp: str = "bilinear",
+    lane_width: int = 128,
+):
+    """Channel-pack adjacent pyramid levels into MXU-lane-width groups.
+
+    The native-pyramid gather/scatter kernels (ops/pyramid_pallas.py,
+    ops/field_pallas.py) spend one full set of MXU passes per level, with
+    the level's channel count C_l occupying the matmul's 128-lane minor
+    dimension — a C=64 level wastes half its lanes (the N dim is padded to
+    128 in the forward gather and the M dim in the backward scatter), and
+    each extra level pays its own one-hot construction. ResNet trunks emit
+    TWO C=64 levels (stem + layer1), so ~19% of the gather unit's passes
+    were structural padding (PERFORMANCE.md round 3).
+
+    Fix: pre-upsample each group's coarser members to the group's finest
+    resolution (the module's own composed-bilinear identity — upsample-
+    then-bilinearly-sample IS the reference's math, see
+    ops/pyramid_pallas.py docstring — run in reverse for the packed level)
+    and channel-concat, so both C=64 levels ride ONE full-width 128-lane
+    matmul and ONE one-hot. The upsample itself is two tiny interpolation
+    matmuls once per encode (ops/interpolate.py), its VJP is the transposed
+    matmuls, and the concatenated channel ORDER is unchanged — the gathered
+    (…, sum C_l) feature vector is identical to the unpacked pyramid's.
+
+    Levels are merged left-to-right while the group's channel total stays
+    <= `lane_width`; groups whose resolutions already match concatenate
+    for free (use_first_pool=False trunks emit stem and layer1 at the SAME
+    resolution)."""
+    levels = list(levels)
+    groups = [[levels[0]]]
+    for l in levels[1:]:
+        if sum(g.shape[-1] for g in groups[-1]) + l.shape[-1] <= lane_width:
+            groups[-1].append(l)
+        else:
+            groups.append([l])
+    if all(len(g) == 1 for g in groups):
+        return tuple(levels)
+    out = []
+    for g in groups:
+        if len(g) == 1:
+            out.append(g[0])
+            continue
+        ups = [g[0]] + _resize_levels(
+            g[1:], g[0].shape[1:3], upsample_interp, index_interp
+        )
+        out.append(jnp.concatenate(ups, axis=-1))
+    return tuple(out)
 
 
 def index_features(
@@ -224,6 +283,12 @@ class SpatialEncoder(nn.Module):
             dtype=self.dtype,
             name="model",
         )(x, train=train)
+        # channel-pack the two C=64 stages into one 128-lane level —
+        # mathematically a no-op for the downstream lookup (see
+        # pack_pyramid_levels), structurally half the gather's lane waste
+        latents = pack_pyramid_levels(
+            latents, self.upsample_interp, self.index_interp
+        )
         return tuple(latents), latent_scaling_for(latents[0].shape[1:3])
 
     @classmethod

@@ -119,10 +119,12 @@ def test_spatial_encoder_shapes(rng, use_first_pool, H, expect_hw):
     x = jnp.asarray(rng.uniform(-1, 1, (2, H, H, 3)).astype(np.float32))
     variables = enc.init(jax.random.PRNGKey(0), x)
     (latent, scaling), _ = enc.apply(x=x, variables=variables, mutable=["batch_stats"])
-    # ResNet backbones return the NATIVE stage maps; the upsampled concat
-    # is composed lazily at lookup time (see SpatialEncoder.__call__)
-    assert isinstance(latent, tuple) and len(latent) == 4
+    # ResNet backbones return the NATIVE stage maps (channel-packed: the
+    # two C=64 stages merge into one 128-lane level, pack_pyramid_levels);
+    # the upsampled concat is composed lazily at lookup time
+    assert isinstance(latent, tuple) and len(latent) == 3
     assert latent[0].shape[1:3] == (expect_hw, expect_hw)
+    assert latent[0].shape[-1] == 128
     assert sum(l.shape[-1] for l in latent) == 512
     from pixelnerf_tpu.models.encoder import compose_pyramid
 
@@ -184,6 +186,47 @@ def test_fused_mlp_predicate_mirrors_runtime_conditions():
     assert _model_uses_fused_mlp(mk(**flag))
     # no injection slot: never fused
     assert not _model_uses_fused_mlp(mk(combine_layer=0), max_nviews=1)
+
+
+def test_pack_pyramid_levels_exact(rng):
+    """Channel-packing coarse levels into a finer group member must not
+    change the composed pyramid (the gather's reference semantics): the
+    pre-upsample IS the compose step for that level, so compose(packed)
+    == compose(unpacked) exactly in f32, and the fused native gather of
+    the packed levels samples the identical function."""
+    from pixelnerf_tpu.models.encoder import (
+        compose_pyramid, pack_pyramid_levels,
+    )
+    from pixelnerf_tpu.ops.pyramid_pallas import pyramid_gather
+    from pixelnerf_tpu.ops.grid_sample import grid_sample_2d
+
+    levels = [
+        jnp.asarray(rng.standard_normal((2, 16, 16, 64)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 4, 4, 128)).astype(np.float32)),
+    ]
+    packed = pack_pyramid_levels(levels)
+    assert [l.shape[-1] for l in packed] == [128, 128]
+    assert packed[0].shape[1:3] == (16, 16)
+    np.testing.assert_allclose(
+        np.asarray(compose_pyramid(packed)),
+        np.asarray(compose_pyramid(levels)),
+        atol=1e-6,
+    )
+    # same-resolution groups pack by pure concat (use_first_pool=False)
+    same = [levels[0], levels[0][..., :32]]
+    packed_same = pack_pyramid_levels(same)
+    assert len(packed_same) == 1 and packed_same[0].shape[-1] == 96
+    # the fused gather over packed levels == grid_sample of the compose
+    uv = jnp.asarray(
+        rng.uniform(-1, 1, (2, 37, 2)).astype(np.float32)
+    )
+    fused = pyramid_gather(packed, uv, interpret=True)
+    ref = grid_sample_2d(
+        compose_pyramid(levels), uv, padding_mode="border",
+        align_corners=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
 
 
 def test_compose_pyramid_nearest_upsample(rng):
