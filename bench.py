@@ -33,7 +33,9 @@ NS = 2
 H = W = 128
 RAYS_PER_OBJ = 1024
 WARMUP = 2
-ITERS = 4
+# steady-state: the single end-of-chain host fetch (~38 ms tunnel RTT)
+# amortizes over ITERS; 10 keeps the artifact under ~4 ms/step
+ITERS = 10
 
 
 def main(argv=None) -> None:

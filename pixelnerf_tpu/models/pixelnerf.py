@@ -34,7 +34,33 @@ from pixelnerf_tpu.models.mlp import ImplicitNet
 from pixelnerf_tpu.models.resnetfc import ResnetFC
 from pixelnerf_tpu.utils.rays import repeat_interleave
 
-__all__ = ["PixelNeRFNet", "SceneEncoding", "make_model"]
+__all__ = ["PixelNeRFNet", "SceneEncoding", "QueryCache", "make_model"]
+
+
+@flax.struct.dataclass
+class QueryCache:
+    """Per-ray conditioning cache for coarse->fine sample dedup.
+
+    The reference's fine pass re-evaluates the merged coarse+fine z set
+    (nerf.py:294-298), which re-projects, re-gathers, and re-encodes the
+    SAME coarse xyz a second time — on TPU the pixel-aligned gather is the
+    second-hottest unit of the train step, and 64 of its 96 fine-pass
+    sample lookups are duplicates of the coarse pass (PERFORMANCE.md
+    round 3). `query(want_cache=Kc)` returns the final per-view MLP inputs
+    reshaped per ray; `query(cache=...)` computes them only for the NEW
+    fine samples and concatenates, so each sample is projected, gathered,
+    and positionally encoded exactly once per step. The fine MLP itself
+    still evaluates every sample (different weights than the coarse MLP —
+    reference semantics). Gradients are identical: the single gather's
+    cotangent is the sum the two gathers would each have received.
+
+    z: (SB*NS, R, Kc, d_z) final latent part (post stop_encoder_grad /
+       global-latent prepend); x: (SB*NS, R, Kc, d_in) positional-code
+       part, or None when d_in == 0.
+    """
+
+    z: jnp.ndarray
+    x: Optional[jnp.ndarray] = None
 
 
 @flax.struct.dataclass
@@ -192,13 +218,23 @@ class PixelNeRFNet(nn.Module):
         xyz: jnp.ndarray,
         viewdirs: Optional[jnp.ndarray] = None,
         coarse: bool = True,
+        want_cache: int = 0,
+        cache: Optional[QueryCache] = None,
     ) -> jnp.ndarray:
         """Predict (r, g, b, sigma) at world points. Reference models.py:146-266.
 
         :param xyz (SB, B, 3) world-space query points
         :param viewdirs (SB, B, 3) world-space ray dirs (required if
             use_viewdirs)
-        :return (SB, B, 4) [sigmoid(rgb), relu(sigma)]
+        :param want_cache when > 0 (static; = samples per ray), ALSO return
+            a QueryCache of the per-sample MLP inputs for coarse->fine
+            dedup (see QueryCache; requires `supports_query_cache`)
+        :param cache a coarse pass's QueryCache: `xyz` then holds only the
+            NEW fine samples (R * Kf, ray-major), and the MLP evaluates
+            the cached-coarse + new samples per ray, ordered
+            [cached (Kc) | new (Kf)] along the sample axis
+        :return (SB, B, 4) [sigmoid(rgb), relu(sigma)]; with want_cache,
+            (out, QueryCache)
         """
         SB, B, _ = xyz.shape
         NS = enc.num_views
@@ -247,6 +283,10 @@ class PixelNeRFNet(nn.Module):
             uv = uv * focal[:, None, :] + cc[:, None, :]
 
             if self._field_fused_ok(enc, mlp, NS):
+                # the fused field kernel never materializes per-sample
+                # latents, so there is nothing to cache (see
+                # supports_query_cache)
+                assert not want_cache and cache is None
                 # fully-fused path: hand the MLP the native pyramid + the
                 # normalized coords; the gather happens inside the field
                 # megakernel and the (M, d_latent) latent never exists in
@@ -302,9 +342,46 @@ class PixelNeRFNet(nn.Module):
             else:
                 mlp_input = jnp.concatenate([gl, mlp_input], axis=-1)
 
+        if want_cache or cache is not None:
+            z_part, x_part = (
+                mlp_input
+                if isinstance(mlp_input, tuple)
+                else (mlp_input, None)
+            )
+
+            def _per_ray(a, k):
+                return a.reshape(SB * NS, -1, k, a.shape[-1])
+
+            if cache is not None:
+                r_rays, kc = cache.z.shape[1], cache.z.shape[2]
+                kf = B // r_rays
+                z_part = jnp.concatenate(
+                    [cache.z, _per_ray(z_part, kf)], axis=2
+                ).reshape(-1, z_part.shape[-1])
+                if x_part is not None:
+                    x_part = jnp.concatenate(
+                        [cache.x, _per_ray(x_part, kf)], axis=2
+                    ).reshape(-1, x_part.shape[-1])
+                B = r_rays * (kc + kf)
+            mlp_input = z_part if x_part is None else (z_part, x_part)
+
         with jax.named_scope("resnetfc_infer"):
             mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
-        return self._head(mlp_output, SB, B)
+        out = self._head(mlp_output, SB, B)
+        if want_cache:
+            cache_out = QueryCache(
+                z=_per_ray(z_part, want_cache),
+                x=None if x_part is None else _per_ray(x_part, want_cache),
+            )
+            return out, cache_out
+        return out
+
+    @property
+    def supports_query_cache(self) -> bool:
+        """Static predicate for the coarse->fine dedup path (QueryCache):
+        there must be a per-sample gathered latent worth caching, and the
+        field-fusion eval path (which never materializes it) must be off."""
+        return self.use_encoder and not self.use_field_fusion
 
     def _head(self, mlp_output: jnp.ndarray, SB: int, B: int) -> jnp.ndarray:
         """rgb sigmoid + sigma relu heads (f32), reference models.py:259-266."""

@@ -34,6 +34,10 @@ from pixelnerf_tpu.ops.sampling import sample_coarse, sample_fine, sample_fine_d
 __all__ = ["RendererConfig", "render_rays"]
 
 # query_fn(xyz (SB, B, 3), viewdirs (SB, B, 3) | None, coarse: bool) -> (SB, B, 4)
+# With query_cache=True the renderer instead calls the extended contract
+# query_fn(xyz, viewdirs, coarse, want_cache: int, cache) — positionally, so
+# jax.checkpoint(static_argnums=(2, 3)) wrappers work (see
+# models.pixelnerf.QueryCache for the dedup semantics).
 QueryFn = Callable[[jnp.ndarray, Optional[jnp.ndarray], bool], jnp.ndarray]
 
 
@@ -103,31 +107,44 @@ def _composite(
     use_viewdirs: bool,
     rng: Optional[jax.Array],
     train: bool,
+    want_cache: int = 0,
 ):
     """Evaluate the field at samples and alpha-composite (nerf.py:163-249)."""
     B, K = z_samp.shape
-    points = (
-        rays_flat[:, None, :3] + z_samp[..., None] * rays_flat[:, None, 3:6]
-    )  # (B, K, 3)
-    points = points.reshape(superbatch, -1, 3)  # (SB, B'*K, 3)
+    points, viewdirs = _sample_points(
+        rays_flat, z_samp, superbatch, use_viewdirs
+    )
 
-    viewdirs = None
-    if use_viewdirs:
-        viewdirs = jnp.broadcast_to(rays_flat[:, None, 3:6], (B, K, 3))
-        viewdirs = viewdirs.reshape(superbatch, -1, 3)
-
-    out = query_fn(points, viewdirs, coarse)  # (SB, B'*K, 4)
+    if want_cache:
+        out, cache = query_fn(points, viewdirs, coarse, want_cache, None)
+    else:
+        out = query_fn(points, viewdirs, coarse)  # (SB, B'*K, 4)
     out = out.reshape(B, K, -1)
 
     rgbs = out[..., :3]
     sigmas = out[..., 3]
     noise_rng = rng if (train and cfg.noise_std > 0.0) else None
-    return alpha_composite(
+    res = alpha_composite(
         rgbs, sigmas, z_samp, rays_flat,
         white_bkgd=cfg.white_bkgd,
         noise_std=cfg.noise_std if train else 0.0,
         rng=noise_rng,
     )
+    return res + (cache,) if want_cache else res
+
+
+def _sample_points(rays_flat, z_samp, superbatch, use_viewdirs):
+    """World points (SB, B'*K, 3) + broadcast ray dirs at the z samples."""
+    B, K = z_samp.shape
+    points = (
+        rays_flat[:, None, :3] + z_samp[..., None] * rays_flat[:, None, 3:6]
+    ).reshape(superbatch, -1, 3)
+    viewdirs = None
+    if use_viewdirs:
+        viewdirs = jnp.broadcast_to(
+            rays_flat[:, None, 3:6], (B, K, 3)
+        ).reshape(superbatch, -1, 3)
+    return points, viewdirs
 
 
 def render_rays(
@@ -138,10 +155,20 @@ def render_rays(
     want_weights: bool = False,
     use_viewdirs: bool = True,
     train: bool = False,
+    query_cache: bool = False,
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Render a ray batch coarse(+fine). Reference nerf.py:251-316.
 
     :param rays (SB, B, 8) [origin, dir, near, far]
+    :param query_cache dedup the fine pass's coarse-sample conditioning
+        (reference nerf.py:294-298 re-evaluates the merged z set; here the
+        projection/gather/positional-code for the Kc coarse samples are
+        computed once and reused — the fine MLP output is then sorted into
+        composite order by z instead of sorting z before evaluation).
+        Requires `query_fn` to implement the extended QueryFn contract
+        (model.supports_query_cache). Numerics match the plain path: the
+        field is pointwise, so per-sample outputs are order-independent,
+        and the sort key set is identical.
     :return {'coarse': {'rgb' (SB,B,3), 'depth' (SB,B), 'weights'?}, 'fine': ...}
     """
     assert rays.ndim == 3
@@ -149,14 +176,19 @@ def render_rays(
     rays_flat = rays.reshape(-1, 8)
 
     k_coarse, k_fine, k_depth, k_noise_c, k_noise_f = jax.random.split(rng, 5)
+    want_cache = cfg.n_coarse if (query_cache and cfg.using_fine) else 0
 
     z_coarse = sample_coarse(
         k_coarse, rays_flat, cfg.n_coarse, cfg.lindisp, perturb=cfg.perturb
     )
-    weights_c, rgb_c, depth_c = _composite(
+    res = _composite(
         query_fn, rays_flat, z_coarse, cfg, superbatch, True, use_viewdirs,
-        k_noise_c, train,
+        k_noise_c, train, want_cache=want_cache,
     )
+    if want_cache:
+        weights_c, rgb_c, depth_c, cache = res
+    else:
+        weights_c, rgb_c, depth_c = res
 
     def fmt(weights, rgb, depth, K):
         out = {
@@ -170,9 +202,9 @@ def render_rays(
     outputs = {"coarse": fmt(weights_c, rgb_c, depth_c, cfg.n_coarse)}
 
     if cfg.using_fine:
-        all_samps = [z_coarse]
+        new_samps = []
         if cfg.n_fine - cfg.n_fine_depth > 0:
-            all_samps.append(
+            new_samps.append(
                 sample_fine(
                     k_fine, rays_flat, weights_c, cfg.n_fine - cfg.n_fine_depth,
                     cfg.lindisp, perturb=cfg.perturb,
@@ -181,18 +213,50 @@ def render_rays(
         if cfg.n_fine_depth > 0:
             # depth detached implicitly: depth_c used only for sampling,
             # and z positions carry no gradient to the coarse pass
-            all_samps.append(
+            new_samps.append(
                 sample_fine_depth(
                     k_depth, rays_flat, jax.lax.stop_gradient(depth_c),
                     cfg.n_fine_depth, cfg.depth_std, perturb=cfg.perturb,
                 )
             )
-        z_combine = jnp.concatenate(all_samps, axis=-1)  # (B, Kc+Kf)
-        z_sorted = jnp.sort(z_combine, axis=-1)
-        weights_f, rgb_f, depth_f = _composite(
-            query_fn, rays_flat, z_sorted, cfg, superbatch, False, use_viewdirs,
-            k_noise_f, train,
-        )
-        outputs["fine"] = fmt(weights_f, rgb_f, depth_f, z_sorted.shape[-1])
+        if want_cache and new_samps:
+            # dedup path: evaluate the fine MLP on [cached coarse | new]
+            # samples unsorted, then sort the 4-channel OUTPUTS (plus z)
+            # into composite order — the field is pointwise, so this is
+            # the plain path's math with the re-projection/gather/encode
+            # of the coarse samples removed
+            z_new = jnp.concatenate(new_samps, axis=-1)  # (B, Kf)
+            points_new, viewdirs_new = _sample_points(
+                rays_flat, z_new, superbatch, use_viewdirs
+            )
+            out = query_fn(points_new, viewdirs_new, False, 0, cache)
+            z_combine = jnp.concatenate([z_coarse, z_new], axis=-1)
+            out = out.reshape(z_combine.shape[0], z_combine.shape[1], -1)
+            # sort keys only; apply the permutation to the 4 output
+            # channels as a one-hot batched matmul — TPU has no fast
+            # minor-dim gather (XLA's sort-payload lowering measured
+            # ~2.6 ms per permuted channel at bench shapes), but the
+            # (K, K) one-hot rides the MXU like every other gather here
+            iota = jax.lax.broadcasted_iota(jnp.int32, z_combine.shape, 1)
+            z_sorted, idx = jax.lax.sort(
+                (z_combine, iota), dimension=-1, num_keys=1
+            )
+            perm = (idx[:, :, None] == iota[:, None, :]).astype(out.dtype)
+            out_sorted = jnp.einsum("bij,bjc->bic", perm, out)
+            noise_rng = k_noise_f if (train and cfg.noise_std > 0.0) else None
+            weights_f, rgb_f, depth_f = alpha_composite(
+                out_sorted[..., :3], out_sorted[..., 3], z_sorted, rays_flat,
+                white_bkgd=cfg.white_bkgd,
+                noise_std=cfg.noise_std if train else 0.0,
+                rng=noise_rng,
+            )
+        else:
+            z_combine = jnp.concatenate([z_coarse] + new_samps, axis=-1)
+            z_sorted = jnp.sort(z_combine, axis=-1)
+            weights_f, rgb_f, depth_f = _composite(
+                query_fn, rays_flat, z_sorted, cfg, superbatch, False,
+                use_viewdirs, k_noise_f, train,
+            )
+        outputs["fine"] = fmt(weights_f, rgb_f, depth_f, z_combine.shape[-1])
 
     return outputs

@@ -294,8 +294,11 @@ def make_train_step(
             new_stats = mutated["batch_stats"]
             qvars = {"params": params, "batch_stats": new_stats}
 
-            def query_fn(xyz, viewdirs, coarse):
-                return model.apply(qvars, enc, xyz, viewdirs, coarse, method="query")
+            def query_fn(xyz, viewdirs, coarse, want_cache=0, cache=None):
+                return model.apply(
+                    qvars, enc, xyz, viewdirs, coarse, want_cache, cache,
+                    method="query",
+                )
 
             if remat:
                 # Optionally rematerialize the field evaluation in the
@@ -306,14 +309,17 @@ def make_train_step(
                 # step time for one extra forward. Turn on (--remat) for
                 # very large ray/sample batches (SURVEY.md §7 'hard
                 # parts') — under jax.checkpoint the stash is written by
-                # the re-forward inside the backward instead.
-                query_fn = jax.checkpoint(query_fn, static_argnums=(2,))
+                # the re-forward inside the backward instead. coarse and
+                # want_cache are static; the QueryCache pytree rides
+                # positionally (renderer calls positionally for this).
+                query_fn = jax.checkpoint(query_fn, static_argnums=(2, 3))
 
             out = render_rays(
                 query_fn, rays, k_render, rcfg,
                 want_weights=alpha_loss_fn is not None,
                 use_viewdirs=model.use_viewdirs,
                 train=True,
+                query_cache=model.supports_query_cache,
             )
             loss_c = rgb_loss_fn(out["coarse"]["rgb"], rgb_gt)
             loss = lambda_coarse * loss_c
@@ -391,11 +397,15 @@ def make_eval_step(
             batch.get("src_c", batch["c"]), False, method="encode",
         )
 
-        def query_fn(xyz, viewdirs, coarse):
-            return model.apply(variables, enc, xyz, viewdirs, coarse, method="query")
+        def query_fn(xyz, viewdirs, coarse, want_cache=0, cache=None):
+            return model.apply(
+                variables, enc, xyz, viewdirs, coarse, want_cache, cache,
+                method="query",
+            )
 
         out = render_rays(
             query_fn, rays, k_render, rcfg, use_viewdirs=model.use_viewdirs,
+            query_cache=model.supports_query_cache,
         )
         aux = {"rc": lambda_coarse * jnp.mean((out["coarse"]["rgb"] - rgb_gt) ** 2)}
         total = aux["rc"]

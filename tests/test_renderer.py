@@ -136,3 +136,86 @@ def test_renderer_config_parses_perturb():
     assert cfg.perturb == 0.0
     cfg = RendererConfig.from_conf(loads("r { n_coarse = 8 }").get_config("r"))
     assert cfg.perturb == 1.0
+
+
+def test_query_cache_dedup_matches_plain_path():
+    """The coarse->fine dedup path (query_cache=True: cached conditioning
+    for the coarse samples, post-MLP output sort) must reproduce the plain
+    path's outputs AND parameter gradients on a real PixelNeRF model —
+    it is the same math with the duplicate gather/encode removed."""
+    from pixelnerf_tpu.models.pixelnerf import make_model
+    from pixelnerf_tpu.utils.hocon import load as hload
+
+    conf = hload("conf/exp/srn.conf")
+    model = make_model(conf["model"], dtype=jnp.float32)
+    assert model.supports_query_cache
+    cfg = RendererConfig(
+        n_coarse=6, n_fine=6, n_fine_depth=2, depth_std=0.05, perturb=1.0
+    )
+    rng = np.random.default_rng(3)
+    SB, NS, H, W, R = 1, 2, 16, 16, 5
+    imgs = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
+    poses = np.tile(np.eye(4, dtype=np.float32), (SB, NS, 1, 1))
+    poses[..., 2, 3] = 1.3
+    poses = jnp.asarray(poses)
+    focal = jnp.full((SB, 2), float(W))
+    c = jnp.full((SB, 2), W / 2.0)
+    xyz0 = jnp.asarray(rng.uniform(-0.5, 0.5, (SB, 4, 3)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), imgs, poses, focal, xyz0, viewdirs=xyz0
+    )
+    # perturb params so heads are not the zero-init constant field, and
+    # bias the sigma channel positive so rays actually hit density
+    # (otherwise relu(sigma) is dead everywhere and all grads vanish)
+    keys = iter(jax.random.split(jax.random.PRNGKey(5), 500))
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.003 * jax.random.normal(next(keys), p.shape, p.dtype),
+        variables["params"],
+    )
+    for mlp in ("mlp_coarse", "mlp_fine"):
+        b = params[mlp]["lin_out"]["bias"]
+        params[mlp]["lin_out"]["bias"] = b.at[3].add(0.5)
+    stats = variables["batch_stats"]
+    rays = _rays(SB, R, near=0.7, far=1.9)
+    key = jax.random.PRNGKey(11)
+
+    def run(params, query_cache):
+        v = {"params": params, "batch_stats": stats}
+        enc = model.apply(v, imgs, poses, focal, c, method="encode")
+
+        def qf(x, vd, coarse, want_cache=0, cache=None):
+            return model.apply(
+                v, enc, x, vd, coarse, want_cache, cache, method="query"
+            )
+
+        return render_rays(
+            qf, rays, key, cfg, want_weights=True,
+            use_viewdirs=model.use_viewdirs, train=True,
+            query_cache=query_cache,
+        )
+
+    plain = run(params, False)
+    dedup = run(params, True)
+    for head in ("coarse", "fine"):
+        for k in ("rgb", "depth", "weights"):
+            np.testing.assert_allclose(
+                np.asarray(dedup[head][k]), np.asarray(plain[head][k]),
+                atol=1e-5, err_msg=f"{head}/{k}",
+            )
+
+    def loss(params, query_cache):
+        out = run(params, query_cache)
+        return jnp.mean((out["fine"]["rgb"] - 0.25) ** 2) + jnp.mean(
+            (out["coarse"]["rgb"] - 0.25) ** 2
+        )
+
+    from jax.flatten_util import ravel_pytree
+
+    g_plain = jax.grad(loss)(params, False)
+    g_dedup = jax.grad(loss)(params, True)
+    flat_p, _ = ravel_pytree(g_plain)
+    flat_d, _ = ravel_pytree(g_dedup)
+    assert float(jnp.abs(flat_p).sum()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(flat_d), np.asarray(flat_p), atol=2e-6, rtol=1e-4
+    )
