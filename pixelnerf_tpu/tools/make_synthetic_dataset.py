@@ -57,10 +57,15 @@ _RADIUS = {"srn": 1.3, "dvr": 2.6, "multi_obj": 6.5, "dtu": 2.5}
 _SCENE_SCALE = {"srn": 1.0, "dvr": 2.0, "multi_obj": 4.0, "dtu": 2.0}
 
 
-def render_scene(pose, focal, size, spheres):
-    """Minimal numpy ray tracer: lambertian spheres, white background.
+def render_scene(pose, focal, size, spheres, background=1.0):
+    """Minimal numpy ray tracer: lambertian spheres on a constant background.
 
-    :return (rgb (H,W,3) uint8 white-bkgd, alpha (H,W) uint8 hit mask)
+    :param background background gray level in [0, 1] (1.0 = white; black
+        suits renderer configs with white_bkgd=False, e.g. the DTU regime,
+        whose reference data are photos composited over their own scene —
+        a white-bg dataset under a black-compositing renderer trains
+        toward "white fog" instead of carving the object)
+    :return (rgb (H,W,3) uint8, alpha (H,W) uint8 hit mask)
     """
     H = W = size
     c = size / 2.0
@@ -72,7 +77,7 @@ def render_scene(pose, focal, size, spheres):
     dirs = dirs @ pose[:3, :3].T
     origin = pose[:3, 3]
 
-    img = np.ones((H, W, 3), dtype=np.float32)
+    img = np.full((H, W, 3), float(background), dtype=np.float32)
     depth = np.full((H, W), np.inf, dtype=np.float32)
     light = np.array([0.4, 0.8, 0.45])
     light = light / np.linalg.norm(light)
@@ -133,6 +138,11 @@ def main(argv=None):
     parser.add_argument("--z_near", type=float, default=0.8)
     parser.add_argument("--z_far", type=float, default=1.8)
     parser.add_argument("--near_far", action="store_true")
+    parser.add_argument(
+        "--background", type=float, default=1.0,
+        help="background gray level in [0,1]; use 0 for white_bkgd=False "
+        "renderer configs (DTU)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -167,7 +177,9 @@ def main(argv=None):
             positions = fibonacci_sphere(args.n_views, radius)
             for v, origin in enumerate(positions):
                 pose = look_at(origin, np.zeros(3))
-                img, _ = render_scene(pose, focal, args.size, spheres)
+                img, _ = render_scene(
+                    pose, focal, args.size, spheres, args.background
+                )
                 imageio.imwrite(
                     os.path.join(obj_dir, "rgb", f"{v:06d}.png"), img
                 )
@@ -186,7 +198,9 @@ def main(argv=None):
             poses = _poses_for_split(split, args.n_views, radius, rng)
             file_paths = []
             for v, pose in enumerate(poses):
-                img, alpha = render_scene(pose, focal, args.size, spheres)
+                img, alpha = render_scene(
+                    pose, focal, args.size, spheres, args.background
+                )
                 rgba = np.concatenate(
                     [
                         # zero RGB where transparent: loaders derive the
@@ -217,7 +231,9 @@ def main(argv=None):
             os.makedirs(os.path.join(obj_dir, "mask"), exist_ok=True)
             poses = _poses_for_split(split, args.n_views, radius, rng)
             for v, pose in enumerate(poses):
-                img, alpha = render_scene(pose, focal, args.size, spheres)
+                img, alpha = render_scene(
+                    pose, focal, args.size, spheres, args.background
+                )
                 imageio.imwrite(
                     os.path.join(obj_dir, "image", f"{v:04d}.png"), img
                 )

@@ -54,6 +54,13 @@ def extra_args(parser):
         "(the reference's finetune_resnet.py staged warmup)",
     )
     parser.add_argument(
+        "--image_size", type=int, nargs=2, default=None,
+        metavar=("H", "W"),
+        help="Area-resize dataset images to (H, W) with intrinsics "
+        "rescale — e.g. 224 224 for ImageNet-geometry encoder finetuning "
+        "(the reference's finetune_resnet.py:40-45 --image_size)",
+    )
+    parser.add_argument(
         "--vis_debug", action="store_true",
         help="At each vis interval also write a sigma z=0-slice heatmap "
         "under visuals/<exp>/vis_debug (the fork's per-step debug "
@@ -128,7 +135,12 @@ def main(argv=None):
     )
     nviews = list(map(int, args.nviews.split()))
 
-    dset, val_dset, _ = get_split_dataset(args.dataset_format, args.datadir)
+    dset_kwargs = (
+        {"image_size": tuple(args.image_size)} if args.image_size else {}
+    )
+    dset, val_dset, _ = get_split_dataset(
+        args.dataset_format, args.datadir, **dset_kwargs
+    )
     print(
         "dset z_near {}, z_far {}, lindisp {}".format(
             dset.z_near, dset.z_far, dset.lindisp

@@ -242,3 +242,24 @@ def test_train_cli_gspmd_mesh(workspace):
     )
     ckpt_dir = os.path.join(workspace["root"], "ckpt", "t_gspmd")
     assert os.path.exists(os.path.join(ckpt_dir, "pixel_nerf_latest"))
+
+
+@pytest.mark.slow
+def test_train_cli_image_size_resize(workspace):
+    """--image_size H W area-resizes dataset images with intrinsic rescale
+    (the reference finetune_resnet.py:40-45 encoder-finetuning affordance)."""
+    from pixelnerf_tpu.data import get_split_dataset
+
+    dset, _, _ = get_split_dataset(
+        "srn", workspace["datadir"], image_size=(24, 24)
+    )
+    obj = dset[0]
+    assert obj["images"].shape[1:3] == (24, 24)
+
+    from pixelnerf_tpu.train.train_pixelnerf import main
+
+    main(
+        _common_args(workspace, "t_resize")
+        + ["-V", "2", "-B", "2", "-R", "8", "--epochs", "1",
+           "--image_size", "24", "24", "--vis_chunk", "256"]
+    )
