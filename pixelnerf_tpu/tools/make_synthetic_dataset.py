@@ -57,15 +57,24 @@ _RADIUS = {"srn": 1.3, "dvr": 2.6, "multi_obj": 6.5, "dtu": 2.5}
 _SCENE_SCALE = {"srn": 1.0, "dvr": 2.0, "multi_obj": 4.0, "dtu": 2.0}
 
 
-def render_scene(pose, focal, size, spheres, background=1.0):
-    """Minimal numpy ray tracer: lambertian spheres on a constant background.
+def render_scene(pose, focal, size, spheres, background=1.0, table=None):
+    """Minimal numpy ray tracer: lambertian spheres on a constant background,
+    optionally above a finite checkerboard tabletop.
 
     :param background background gray level in [0, 1] (1.0 = white; black
         suits renderer configs with white_bkgd=False, e.g. the DTU regime,
         whose reference data are photos composited over their own scene —
         a white-bg dataset under a black-compositing renderer trains
         toward "white fog" instead of carving the object)
-    :return (rgb (H,W,3) uint8, alpha (H,W) uint8 hit mask)
+    :param table (y0, half_extent) checkerboard ground plane at y = y0,
+        |x|,|z| <= half_extent. A DTU-style tabletop: real DTU photos have
+        scene content behind the object everywhere, and a mostly-empty
+        constant background under white_bkgd=False compositing collapses
+        the density field (85% of sampled pixels reward sigma = 0
+        everywhere before the object can form). Keep the extent small
+        enough that every table point stays within the renderer's z_far.
+    :return (rgb (H,W,3) uint8, alpha (H,W) uint8 OBJECT hit mask — the
+        table is scene background, not object)
     """
     H = W = size
     c = size / 2.0
@@ -79,8 +88,30 @@ def render_scene(pose, focal, size, spheres, background=1.0):
 
     img = np.full((H, W, 3), float(background), dtype=np.float32)
     depth = np.full((H, W), np.inf, dtype=np.float32)
+    obj_depth = np.full((H, W), np.inf, dtype=np.float32)
     light = np.array([0.4, 0.8, 0.45])
     light = light / np.linalg.norm(light)
+
+    if table is not None:
+        y0, half = table
+        dy = dirs[..., 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (y0 - origin[1]) / dy
+        pt = origin + t[..., None] * dirs
+        hit = (
+            (np.abs(dy) > 1e-6)
+            & (t > 0)
+            & (np.abs(pt[..., 0]) <= half)
+            & (np.abs(pt[..., 2]) <= half)
+        )
+        checker = (
+            np.floor(pt[..., 0] / (0.25 * half))
+            + np.floor(pt[..., 2] / (0.25 * half))
+        ).astype(np.int64) % 2
+        tone = np.where(checker > 0, 0.55, 0.3)[..., None]
+        table_rgb = tone * np.array([1.0, 0.92, 0.8])
+        img = np.where(hit[..., None], table_rgb, img)
+        depth = np.where(hit, t, depth)
 
     for center, radius, color in spheres:
         oc = origin - center
@@ -94,8 +125,9 @@ def render_scene(pose, focal, size, spheres, background=1.0):
         shade = np.clip(np.einsum("hwc,c->hw", normal, light), 0.1, 1.0)
         img = np.where(hit[..., None], color[None, None] * shade[..., None], img)
         depth = np.where(hit, t, depth)
+        obj_depth = np.where(hit, t, obj_depth)
     rgb = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-    alpha = (np.isfinite(depth) * 255).astype(np.uint8)
+    alpha = (np.isfinite(obj_depth) * 255).astype(np.uint8)
     return rgb, alpha
 
 
@@ -139,6 +171,11 @@ def main(argv=None):
     parser.add_argument("--z_far", type=float, default=1.8)
     parser.add_argument("--near_far", action="store_true")
     parser.add_argument(
+        "--table", choices=["auto", "on", "off"], default="auto",
+        help="checkerboard tabletop under the object (auto: on for the "
+        "dtu format — see render_scene)",
+    )
+    parser.add_argument(
         "--background", type=float, default=1.0,
         help="background gray level in [0,1]; use 0 for white_bkgd=False "
         "renderer configs (DTU)",
@@ -163,6 +200,12 @@ def main(argv=None):
         # 8:1:1 split by index (Blender_cli.py:219-221)
         split = stage[obj % 10]
         spheres = sample_spheres(rng, scale)
+        table = (
+            (-0.6 * scale, 0.8 * scale)
+            if args.table == "on"
+            or (args.table == "auto" and args.format == "dtu")
+            else None
+        )
 
         if args.format == "srn":
             obj_dir = os.path.join(
@@ -178,7 +221,7 @@ def main(argv=None):
             for v, origin in enumerate(positions):
                 pose = look_at(origin, np.zeros(3))
                 img, _ = render_scene(
-                    pose, focal, args.size, spheres, args.background
+                    pose, focal, args.size, spheres, args.background, table
                 )
                 imageio.imwrite(
                     os.path.join(obj_dir, "rgb", f"{v:06d}.png"), img
@@ -199,7 +242,7 @@ def main(argv=None):
             file_paths = []
             for v, pose in enumerate(poses):
                 img, alpha = render_scene(
-                    pose, focal, args.size, spheres, args.background
+                    pose, focal, args.size, spheres, args.background, table
                 )
                 rgba = np.concatenate(
                     [
@@ -232,7 +275,7 @@ def main(argv=None):
             poses = _poses_for_split(split, args.n_views, radius, rng)
             for v, pose in enumerate(poses):
                 img, alpha = render_scene(
-                    pose, focal, args.size, spheres, args.background
+                    pose, focal, args.size, spheres, args.background, table
                 )
                 imageio.imwrite(
                     os.path.join(obj_dir, "image", f"{v:04d}.png"), img

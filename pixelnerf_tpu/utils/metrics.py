@@ -112,12 +112,17 @@ def ssim_np(
     return _ssim_single(img1, img2, data_range, win_size)
 
 
-def lpips_fn(net: str = "vgg"):
+def lpips_fn(net: str = "vgg", weights: str = None):
     """Return an LPIPS callable (im1, im2 in [-1,1], NCHW) -> float, or None.
 
-    The lpips package and its pretrained weights are unavailable offline;
-    metric pipelines gate on a None return (reference: eval/calc_metrics.py
-    constructs lpips.LPIPS(net='vgg')).
+    Resolution order (reference: eval/calc_metrics.py constructs
+    lpips.LPIPS(net='vgg')):
+    1. the `lpips` torch package, if installed;
+    2. the native JAX implementation (utils/lpips_jax.py) with ported
+       weights from `weights`, $PIXELNERF_LPIPS_WEIGHTS, or
+       ~/.cache/pixelnerf_tpu/lpips_vgg.npz
+       (see tools/port_lpips_weights.py);
+    3. None — metric pipelines gate on it and report NaN.
     """
     try:
         import lpips  # type: ignore
@@ -132,5 +137,16 @@ def lpips_fn(net: str = "vgg"):
                 return float(model(t1, t2).item())
 
         return _fn
+    except Exception:
+        pass
+    if net != "vgg":
+        return None
+    try:
+        from pixelnerf_tpu.utils.lpips_jax import load_params, make_lpips
+
+        params = load_params(weights)
+        if params is None:
+            return None
+        return make_lpips(params)
     except Exception:
         return None
