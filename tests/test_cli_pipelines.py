@@ -263,3 +263,53 @@ def test_train_cli_image_size_resize(workspace):
         + ["-V", "2", "-B", "2", "-R", "8", "--epochs", "1",
            "--image_size", "24", "24", "--vis_chunk", "256"]
     )
+
+
+@pytest.mark.slow
+def test_preproc_grabcut_golden_vs_reference_photos(tmp_path):
+    """Golden validation of the GrabCut fallback (eval/preproc.py:63)
+    against the reference's own shipped example photos and their
+    PointRend-normalized outputs (reference input/{police,toyota}.jpg +
+    *_normalize.png, scripts/preproc.py:216-303). Measured agreement
+    (recorded r3): shape-aligned IoU 0.72/0.73, framing IoU 0.40/0.45."""
+    import shutil
+
+    import cv2
+    import imageio.v2 as imageio
+    import numpy as np
+
+    ref_dir = "/root/reference/input"
+    if not os.path.exists(os.path.join(ref_dir, "police.jpg")):
+        pytest.skip("reference photos unavailable")
+    for name in ("police", "toyota"):
+        shutil.copy(os.path.join(ref_dir, f"{name}.jpg"), tmp_path)
+
+    from pixelnerf_tpu.eval.preproc import main as preproc_main
+
+    preproc_main(
+        ["--input", str(tmp_path), "--size", "128", "--segmenter", "grabcut"]
+    )
+
+    def mask(im):
+        rgb = im[..., :3].astype(np.int32)
+        return ((255 * 3 - rgb.sum(-1)) > 30).astype(np.uint8)
+
+    def bbox_crop(m):
+        ys, xs = np.nonzero(m)
+        return m[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+    for name in ("police", "toyota"):
+        ours = mask(
+            np.asarray(imageio.imread(tmp_path / f"{name}_normalize.png"))
+        )
+        ref = mask(
+            np.asarray(
+                imageio.imread(os.path.join(ref_dir, f"{name}_normalize.png"))
+            )
+        )
+        framing_iou = (ours & ref).sum() / (ours | ref).sum()
+        a = cv2.resize(bbox_crop(ours), (96, 96), cv2.INTER_NEAREST) > 0
+        b = cv2.resize(bbox_crop(ref), (96, 96), cv2.INTER_NEAREST) > 0
+        shape_iou = (a & b).sum() / (a | b).sum()
+        assert shape_iou > 0.6, (name, shape_iou)
+        assert framing_iou > 0.3, (name, framing_iou)
