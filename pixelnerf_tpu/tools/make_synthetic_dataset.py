@@ -57,9 +57,11 @@ _RADIUS = {"srn": 1.3, "dvr": 2.6, "multi_obj": 6.5, "dtu": 2.5}
 _SCENE_SCALE = {"srn": 1.0, "dvr": 2.0, "multi_obj": 4.0, "dtu": 2.0}
 
 
-def render_scene(pose, focal, size, spheres, background=1.0, table=None):
+def render_scene(
+    pose, focal, size, spheres, background=1.0, table=None, room=None
+):
     """Minimal numpy ray tracer: lambertian spheres on a constant background,
-    optionally above a finite checkerboard tabletop.
+    optionally above a finite checkerboard tabletop inside a textured room.
 
     :param background background gray level in [0, 1] (1.0 = white; black
         suits renderer configs with white_bkgd=False, e.g. the DTU regime,
@@ -67,14 +69,18 @@ def render_scene(pose, focal, size, spheres, background=1.0, table=None):
         a white-bg dataset under a black-compositing renderer trains
         toward "white fog" instead of carving the object)
     :param table (y0, half_extent) checkerboard ground plane at y = y0,
-        |x|,|z| <= half_extent. A DTU-style tabletop: real DTU photos have
-        scene content behind the object everywhere, and a mostly-empty
-        constant background under white_bkgd=False compositing collapses
-        the density field (85% of sampled pixels reward sigma = 0
-        everywhere before the object can form). Keep the extent small
-        enough that every table point stays within the renderer's z_far.
-    :return (rgb (H,W,3) uint8, alpha (H,W) uint8 OBJECT hit mask — the
-        table is scene background, not object)
+        |x|,|z| <= half_extent
+    :param room radius of an enclosing textured sphere viewed from inside
+        (cameras must sit within it). Together with the table this gives
+        every ray a finite-depth textured termination, like a photograph:
+        under white_bkgd=False compositing a mostly-empty constant
+        background collapses the density field — the black-sky pixels'
+        "zero density everywhere" pull relu-kills sigma within ~20 steps
+        (observed r3, both white and black empty backgrounds) before the
+        object can form. Real DTU photos never have empty pixels; neither
+        should DTU-layout synthetic data.
+    :return (rgb (H,W,3) uint8, alpha (H,W) uint8 OBJECT hit mask — table
+        and room are scene background, not object)
     """
     H = W = size
     c = size / 2.0
@@ -91,6 +97,22 @@ def render_scene(pose, focal, size, spheres, background=1.0, table=None):
     obj_depth = np.full((H, W), np.inf, dtype=np.float32)
     light = np.array([0.4, 0.8, 0.45])
     light = light / np.linalg.norm(light)
+
+    if room is not None:
+        # inside view of a sphere centered at the origin: far root
+        b = np.einsum("hwc,c->hw", dirs, origin)
+        disc = b * b - (origin @ origin - room * room)
+        t = -b + np.sqrt(np.maximum(disc, 0.0))
+        pt = origin + t[..., None] * dirs
+        u = np.arctan2(pt[..., 2], pt[..., 0])
+        v = np.arccos(np.clip(pt[..., 1] / room, -1.0, 1.0))
+        checker = (np.floor(u / 0.45) + np.floor(v / 0.45)).astype(
+            np.int64
+        ) % 2
+        tone = np.where(checker > 0, 0.38, 0.22)[..., None]
+        wall_rgb = tone * np.array([0.75, 0.85, 1.0])
+        img = np.where(t[..., None] > 0, wall_rgb, img)
+        depth = np.where(t > 0, t, depth)
 
     if table is not None:
         y0, half = table
@@ -200,12 +222,12 @@ def main(argv=None):
         # 8:1:1 split by index (Blender_cli.py:219-221)
         split = stage[obj % 10]
         spheres = sample_spheres(rng, scale)
-        table = (
-            (-0.6 * scale, 0.8 * scale)
-            if args.table == "on"
-            or (args.table == "auto" and args.format == "dtu")
-            else None
+        dtu_like = args.table == "on" or (
+            args.table == "auto" and args.format == "dtu"
         )
+        table = (-0.6 * scale, 0.8 * scale) if dtu_like else None
+        # room wall just beyond the camera shell; see render_scene
+        room = 1.25 * radius if dtu_like else None
 
         if args.format == "srn":
             obj_dir = os.path.join(
@@ -221,7 +243,8 @@ def main(argv=None):
             for v, origin in enumerate(positions):
                 pose = look_at(origin, np.zeros(3))
                 img, _ = render_scene(
-                    pose, focal, args.size, spheres, args.background, table
+                    pose, focal, args.size, spheres, args.background,
+                    table, room,
                 )
                 imageio.imwrite(
                     os.path.join(obj_dir, "rgb", f"{v:06d}.png"), img
@@ -242,7 +265,8 @@ def main(argv=None):
             file_paths = []
             for v, pose in enumerate(poses):
                 img, alpha = render_scene(
-                    pose, focal, args.size, spheres, args.background, table
+                    pose, focal, args.size, spheres, args.background,
+                    table, room,
                 )
                 rgba = np.concatenate(
                     [
@@ -275,7 +299,8 @@ def main(argv=None):
             poses = _poses_for_split(split, args.n_views, radius, rng)
             for v, pose in enumerate(poses):
                 img, alpha = render_scene(
-                    pose, focal, args.size, spheres, args.background, table
+                    pose, focal, args.size, spheres, args.background,
+                    table, room,
                 )
                 imageio.imwrite(
                     os.path.join(obj_dir, "image", f"{v:04d}.png"), img

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pixelnerf_tpu.render.renderer import RendererConfig, render_rays
 
@@ -138,11 +139,13 @@ def test_renderer_config_parses_perturb():
     assert cfg.perturb == 1.0
 
 
-def test_query_cache_dedup_matches_plain_path():
+@pytest.mark.parametrize("NS", [2, 3])
+def test_query_cache_dedup_matches_plain_path(NS):
     """The coarse->fine dedup path (query_cache=True: cached conditioning
     for the coarse samples, post-MLP output sort) must reproduce the plain
     path's outputs AND parameter gradients on a real PixelNeRF model —
-    it is the same math with the duplicate gather/encode removed."""
+    it is the same math with the duplicate gather/encode removed.
+    NS=3 covers the multi-view DTU regime."""
     from pixelnerf_tpu.models.pixelnerf import make_model
     from pixelnerf_tpu.utils.hocon import load as hload
 
@@ -153,7 +156,7 @@ def test_query_cache_dedup_matches_plain_path():
         n_coarse=6, n_fine=6, n_fine_depth=2, depth_std=0.05, perturb=1.0
     )
     rng = np.random.default_rng(3)
-    SB, NS, H, W, R = 1, 2, 16, 16, 5
+    SB, H, W, R = 1, 16, 16, 5
     imgs = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
     poses = np.tile(np.eye(4, dtype=np.float32), (SB, NS, 1, 1))
     poses[..., 2, 3] = 1.3
