@@ -109,8 +109,15 @@ def render_scene(
         checker = (np.floor(u / 0.45) + np.floor(v / 0.45)).astype(
             np.int64
         ) % 2
-        tone = np.where(checker > 0, 0.38, 0.22)[..., None]
-        wall_rgb = tone * np.array([0.75, 0.85, 1.0])
+        # scene mean must sit ABOVE the init-time render (~0.5 gray):
+        # under white_bkgd=False the first gradient otherwise pushes sigma
+        # DOWN toward the darker target, and every sample whose pre-relu
+        # crosses zero freezes (relu grad 0) — a one-way ratchet that
+        # blacked out the field within ~30 steps in two r3 runs. Bright
+        # scenes make the initial pressure "more density", which is the
+        # same asymmetry that keeps white_bkgd=True configs healthy.
+        tone = np.where(checker > 0, 0.82, 0.6)[..., None]
+        wall_rgb = tone * np.array([0.8, 0.88, 1.0])
         img = np.where(t[..., None] > 0, wall_rgb, img)
         depth = np.where(t > 0, t, depth)
 
@@ -130,8 +137,8 @@ def render_scene(
             np.floor(pt[..., 0] / (0.25 * half))
             + np.floor(pt[..., 2] / (0.25 * half))
         ).astype(np.int64) % 2
-        tone = np.where(checker > 0, 0.55, 0.3)[..., None]
-        table_rgb = tone * np.array([1.0, 0.92, 0.8])
+        tone = np.where(checker > 0, 0.88, 0.62)[..., None]
+        table_rgb = tone * np.array([1.0, 0.94, 0.82])
         img = np.where(hit[..., None], table_rgb, img)
         depth = np.where(hit, t, depth)
 
