@@ -21,6 +21,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: /tmp survives across rounds on this box, so
+# repeat suite runs skip recompiling the big train-step/SPMD programs (the
+# bulk of the 1-core suite's wall time). Entries are keyed on jaxlib +
+# backend + compile options, so stale hits are structurally impossible.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -447,3 +447,26 @@ def test_eval_cli_safe_ray_chunk_default():
             __import__(f"pixelnerf_tpu.eval.{mod}", fromlist=["main"])
         )
         assert "default_ray_batch_size=16384" in src, mod
+
+
+def test_make_pollen_meshes_valid_stl(tmp_path):
+    """Procedural grain generator (Blender_cli.py:40-52 consumes scanned
+    *.stl the same way): closed icosphere topology, spiky displacement,
+    binary STL readable by the renderer's own reader."""
+    from pixelnerf_tpu.tools.make_pollen_meshes import icosphere, main
+    from pixelnerf_tpu.tools.stl_render_dataset import read_stl
+
+    verts, faces = icosphere(subdiv=2)
+    # Euler characteristic of a sphere: V - E + F = 2 (E = 3F/2 closed)
+    assert len(verts) - (3 * len(faces)) // 2 + len(faces) == 2
+
+    main(["--out", str(tmp_path), "--n_meshes", "3", "--subdiv", "2"])
+    stls = sorted(tmp_path.glob("grain*.stl"))
+    assert len(stls) == 3
+    tris = read_stl(str(stls[0]))
+    assert tris.shape == (len(faces), 3, 3)
+    radii = np.linalg.norm(tris.reshape(-1, 3), axis=-1)
+    # displaced sphere: non-trivial spread, bounded by the amp budget
+    assert radii.std() > 0.01 and 0.5 < radii.min() and radii.max() < 1.8
+    # grains differ from each other (per-mesh RNG streams)
+    assert not np.allclose(read_stl(str(stls[1])), tris)
