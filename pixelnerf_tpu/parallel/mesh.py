@@ -188,7 +188,14 @@ def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
     pytrees — (state, metrics) for a train step (n_outputs=2), metrics only
     for an eval step built with the same pmean_axes (n_outputs=1).
     """
-    from jax.experimental.shard_map import shard_map
+    try:  # jax>=0.8 top-level API; the experimental alias is deprecated
+        from jax import shard_map
+
+        _rep_kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+        _rep_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec
 
     P_ = PartitionSpec
@@ -214,7 +221,7 @@ def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
                     mesh=mesh,
                     in_specs=(P_(), batch_specs, P_()),
                     out_specs=out_specs,
-                    check_rep=False,
+                    **_rep_kwargs,
                 )
             )
         return cache[key](state, batch, rng)

@@ -312,7 +312,15 @@ def make_train_step(
                 # the re-forward inside the backward instead. coarse and
                 # want_cache are static; the QueryCache pytree rides
                 # positionally (renderer calls positionally for this).
-                query_fn = jax.checkpoint(query_fn, static_argnums=(2, 3))
+                # coarse and want_cache are static; the QueryCache pytree
+                # rides positionally. The renderer may call the plain 3-arg
+                # form (no-cache models / n_fine=0), which jax.checkpoint's
+                # static_argnums=(2, 3) rejects — the shim pins the arity
+                # to the full 5-arg contract before the remat wrapper.
+                _remat_q = jax.checkpoint(query_fn, static_argnums=(2, 3))
+
+                def query_fn(xyz, viewdirs, coarse, want_cache=0, cache=None):
+                    return _remat_q(xyz, viewdirs, coarse, want_cache, cache)
 
             out = render_rays(
                 query_fn, rays, k_render, rcfg,
