@@ -144,6 +144,43 @@ def test_parse_mesh_spec():
         parse_mesh_spec("data:3,rays:4", 8)
 
 
+@pytest.mark.parametrize("n_fine", [0, 4])
+def test_remat_step_matches_plain(n_fine):
+    """remat=True must accept BOTH renderer call arities — the plain 3-arg
+    query_fn form (n_fine=0 / no-cache models) and the 5-arg QueryCache
+    form — and reproduce the remat=False step bit-for-bit (regression:
+    jax.checkpoint static_argnums=(2,3) rejected the 3-arg call)."""
+    model = _tiny_model()
+    batch = _batch(SB=1, NV=2, NS=1, H=16, W=16)
+    batch["src_images"] = batch["src_images"][:, :1]
+    batch["src_poses"] = batch["src_poses"][:, :1]
+    rcfg = RendererConfig(n_coarse=4, n_fine=n_fine)
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        key, batch["src_images"], batch["src_poses"], batch["focal"],
+        jnp.zeros((1, 4, 3)), viewdirs=jnp.zeros((1, 4, 3)),
+    )
+    tx = optax.adam(1e-3)
+    outs = []
+    for remat in (False, True):
+        step = jax.jit(
+            make_train_step(
+                model, rcfg, tx, num_rays=16, z_near=0.5, z_far=2.0,
+                remat=remat,
+            )
+        )
+        state, aux = step(
+            create_train_state(variables, tx), batch, jax.random.PRNGKey(3)
+        )
+        assert np.isfinite(float(aux["t"]))
+        outs.append((state, aux))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        outs[0], outs[1],
+    )
+
+
 @pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """One sharded train step must equal the unsharded step numerically."""
