@@ -311,9 +311,7 @@ def make_train_step(
                 # parts') — under jax.checkpoint the stash is written by
                 # the re-forward inside the backward instead. coarse and
                 # want_cache are static; the QueryCache pytree rides
-                # positionally (renderer calls positionally for this).
-                # coarse and want_cache are static; the QueryCache pytree
-                # rides positionally. The renderer may call the plain 3-arg
+                # positionally. The renderer may call the plain 3-arg
                 # form (no-cache models / n_fine=0), which jax.checkpoint's
                 # static_argnums=(2, 3) rejects — the shim pins the arity
                 # to the full 5-arg contract before the remat wrapper.
