@@ -28,6 +28,7 @@ class MultiObjectDataset:
         z_near: float = 4.0,
         z_far: float = 9.0,
         n_views: Optional[int] = None,
+        image_size: Optional[tuple] = None,
     ):
         self.base_path = os.path.join(path, stage)
         trans_files = []
@@ -39,6 +40,9 @@ class MultiObjectDataset:
         self.z_far = z_far
         self.lindisp = False
         self.n_views = n_views
+        # optional area-resize (focal needs no explicit rescale: it is
+        # derived from camera_angle_x and the POST-resize width below)
+        self.image_size = tuple(image_size) if image_size else None
 
     def __len__(self) -> int:
         return len(self.trans_files)
@@ -102,6 +106,15 @@ class MultiObjectDataset:
             poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
 
         images = np.stack(imgs)
+        masks_arr = np.stack(masks)
+        bboxes_arr = np.stack(bboxes)
+        if self.image_size is not None and images.shape[1:3] != self.image_size:
+            from pixelnerf_tpu.data.common import resize_area_np
+
+            scale = self.image_size[0] / images.shape[1]
+            images = resize_area_np(images, self.image_size)
+            masks_arr = resize_area_np(masks_arr, self.image_size)
+            bboxes_arr = bboxes_arr * scale
         H, W = images.shape[1:3]
         focal = 0.5 * W / np.tan(0.5 * float(transform["camera_angle_x"]))
 
@@ -110,7 +123,7 @@ class MultiObjectDataset:
             "img_id": index,
             "focal": np.float32(focal),
             "images": images,
-            "masks": np.stack(masks),
-            "bbox": np.stack(bboxes),
+            "masks": masks_arr,
+            "bbox": bboxes_arr,
             "poses": np.stack(poses),
         }

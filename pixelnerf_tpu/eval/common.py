@@ -21,8 +21,14 @@ def load_model_and_dataset(args, conf, want_split: str):
     from pixelnerf_tpu.render.renderer import RendererConfig
     from pixelnerf_tpu.utils import checkpoint as ckpt_io
 
+    size_kw = (
+        {"image_size": tuple(args.image_size)}
+        if getattr(args, "image_size", None)
+        else {}
+    )
     dset = get_split_dataset(
-        args.dataset_format, args.datadir, want_split=want_split, training=False
+        args.dataset_format, args.datadir, want_split=want_split,
+        training=False, **size_kw,
     )
     model = make_model(conf["model"])
 

@@ -53,13 +53,8 @@ def extra_args(parser):
         help="Freeze the encoder for the first N epochs, then unfreeze "
         "(the reference's finetune_resnet.py staged warmup)",
     )
-    parser.add_argument(
-        "--image_size", type=int, nargs=2, default=None,
-        metavar=("H", "W"),
-        help="Area-resize dataset images to (H, W) with intrinsics "
-        "rescale — e.g. 224 224 for ImageNet-geometry encoder finetuning "
-        "(the reference's finetune_resnet.py:40-45 --image_size)",
-    )
+    # --image_size lives on the COMMON parser (utils/config.py) so the
+    # eval CLIs share it
     parser.add_argument(
         "--vis_debug", action="store_true",
         help="At each vis interval also write a sigma z=0-slice heatmap "

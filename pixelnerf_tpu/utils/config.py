@@ -86,6 +86,16 @@ def parse_args(
         "--ray_batch_size", "-R", type=int, default=default_ray_batch_size
     )
     parser.add_argument(
+        "--image_size", type=int, nargs=2, default=None,
+        metavar=("H", "W"),
+        help="Area-resize dataset images to (H, W) with intrinsics "
+        "rescale — e.g. 224 224 for ImageNet-geometry encoder finetuning "
+        "(the reference's finetune_resnet.py:40-45 --image_size). On eval "
+        "CLIs this must match the training resolution when the dataset's "
+        "native size differs (the SRN loader defaults to 128x128 and "
+        "UPSAMPLES smaller data, quadrupling render cost)",
+    )
+    parser.add_argument(
         "--debug_nans", action="store_true", default=False,
         help="jax.config jax_debug_nans: error out on the op that produced "
         "a NaN (the reference's torch.autograd.set_detect_anomaly, "

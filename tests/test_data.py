@@ -90,6 +90,22 @@ def test_multi_obj_dataset_contract(tmp_path):
     assert dset.z_near == 4 and dset.z_far == 9
 
 
+def test_multi_obj_dataset_image_size_resize(tmp_path):
+    """image_size= area-resizes images/masks, scales bboxes, and the focal
+    (derived from camera_angle_x + post-resize W) halves with the image."""
+    datadir = make_multi_obj_dataset(str(tmp_path), n_scenes=1, nv=2, H=32)
+    dset = get_split_dataset(
+        "multi_obj", datadir, want_split="train", image_size=(16, 16)
+    )
+    obj = dset[0]
+    assert obj["images"].shape == (2, 16, 16, 3)
+    assert obj["masks"].shape == (2, 16, 16, 1)
+    expect_focal = 0.5 * 16 / np.tan(0.35)
+    assert abs(float(obj["focal"]) - expect_focal) < 1e-4
+    full = get_split_dataset("multi_obj", datadir, want_split="train")[0]
+    np.testing.assert_allclose(obj["bbox"], full["bbox"] * 0.5)
+
+
 def test_color_jitter_same_across_views(tmp_path):
     datadir = make_srn_dataset(str(tmp_path), n_objs=1, nv=3, H=16)
     base = get_split_dataset("srn", datadir, want_split="train", image_size=(16, 16))
