@@ -30,6 +30,12 @@ def extra_args(parser):
     parser.add_argument("--mesh_reso", type=int, default=256)
     parser.add_argument("--mesh_thresh", type=float, default=10.0)
     parser.add_argument("--mesh_chunk", type=int, default=65536)
+    parser.add_argument(
+        "--mesh_bounds", type=float, default=1.0,
+        help="half-extent of the sigma-grid AABB (the reference hardcodes "
+        "[-1,1]^3, eval/eval.py:90-96; scene-scale formats like "
+        "multi_obj's z 4-9 world need a larger box)",
+    )
     parser.add_argument("--limit", type=int, default=0, help="0 = all objects")
     parser.add_argument("--output", "-O", type=str, default="eval_out")
     parser.add_argument("--overwrite", action="store_true")
@@ -104,17 +110,20 @@ def main(argv=None):
 
             if want_mesh:
                 reso = (args.mesh_reso,) * 3
+                half = float(args.mesh_bounds)
                 vol = eval_sigma_grid(
                     lambda pts: sigma_chunk(enc, jnp.asarray(pts)),
                     reso,
+                    c1=(-half,) * 3,
+                    c2=(half,) * 3,
                     eval_batch_size=args.mesh_chunk,
                 )
                 from pixelnerf_tpu.native import load_isosurface
 
                 extract = load_isosurface()
                 verts, tris = extract(vol, float(args.mesh_thresh))
-                scale = 2.0 / (args.mesh_reso - 1)
-                verts = verts * scale - 1.0
+                scale = 2.0 * half / (args.mesh_reso - 1)
+                verts = verts * scale - half
                 stl_path = os.path.join(out_dir, f"{obj_name}.stl")
                 save_stl(verts, tris, stl_path)
                 print(f"{obj_name}: {len(verts)} verts {len(tris)} tris -> {stl_path}")

@@ -151,6 +151,24 @@ def test_eval_mesh_cli(workspace):
     pngs = os.listdir(os.path.join(obj_out, subdirs[0]))
     assert len(pngs) == 3  # 4 views - 1 source
 
+    # --mesh_bounds rescales the AABB: vertices of the wider extraction
+    # must stay inside its half-extent box (and the run still completes)
+    out_dir2 = os.path.join(workspace["root"], "eval_out_b")
+    main(
+        _common_args(workspace, "t1")
+        + ["--split", "test", "-P", "0", "--mode", "mesh", "--mesh_reso", "24",
+           "--mesh_thresh", "5.0", "--mesh_bounds", "2.0", "--limit", "1",
+           "-R", "512", "--output", out_dir2]
+    )
+    obj_out2 = os.path.join(out_dir2, "t1")
+    stl2 = [f for f in os.listdir(obj_out2) if f.endswith(".stl")]
+    assert len(stl2) == 1
+    from pixelnerf_tpu.tools.stl_render_dataset import read_stl
+
+    tris = read_stl(os.path.join(obj_out2, stl2[0]))
+    if len(tris):
+        assert np.abs(tris).max() <= 2.0 + 1e-5
+
 
 @pytest.mark.slow
 def test_calc_metrics_cli(workspace):
