@@ -24,6 +24,11 @@ def extra_args(parser):
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument(
+        "--limit", type=int, default=0,
+        help="evaluate only the first N objects (0 = all); for quick "
+        "checkpoint-curve spot checks",
+    )
+    parser.add_argument(
         "--coarse", action="store_true", help="Use coarse net as fine"
     )
     return parser
@@ -60,7 +65,8 @@ def main(argv=None):
 
     total_psnr = total_ssim = 0.0
     cnt = 0
-    for obj_idx in tqdm.tqdm(range(len(dset))):
+    n_objs = len(dset) if args.limit == 0 else min(args.limit, len(dset))
+    for obj_idx in tqdm.tqdm(range(n_objs)):
         data = dset[obj_idx]
         if "images" not in data:
             continue
