@@ -111,10 +111,14 @@ class MultiObjectDataset:
         if self.image_size is not None and images.shape[1:3] != self.image_size:
             from pixelnerf_tpu.data.common import resize_area_np
 
-            scale = self.image_size[0] / images.shape[1]
+            sy = self.image_size[0] / images.shape[1]
+            sx = self.image_size[1] / images.shape[2]
             images = resize_area_np(images, self.image_size)
             masks_arr = resize_area_np(masks_arr, self.image_size)
-            bboxes_arr = bboxes_arr * scale
+            # bbox is (cmin, rmin, cmax, rmax): x-coords scale with W, y with H
+            bboxes_arr = bboxes_arr * np.array(
+                [sx, sy, sx, sy], dtype=np.float32
+            )
         H, W = images.shape[1:3]
         focal = 0.5 * W / np.tan(0.5 * float(transform["camera_angle_x"]))
 

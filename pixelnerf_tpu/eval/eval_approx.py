@@ -65,7 +65,7 @@ def main(argv=None):
 
     total_psnr = total_ssim = 0.0
     cnt = 0
-    n_objs = len(dset) if args.limit == 0 else min(args.limit, len(dset))
+    n_objs = len(dset) if args.limit <= 0 else min(args.limit, len(dset))
     for obj_idx in tqdm.tqdm(range(n_objs)):
         data = dset[obj_idx]
         if "images" not in data:

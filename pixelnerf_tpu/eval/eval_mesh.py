@@ -85,7 +85,7 @@ def main(argv=None):
         out = sigma_model.apply(variables, enc, xyz, vd, True, method="query")
         return out[0, :, 3]
 
-    n_objs = len(dset) if args.limit == 0 else min(args.limit, len(dset))
+    n_objs = len(dset) if args.limit <= 0 else min(args.limit, len(dset))
     total_psnr = total_ssim = 0.0
     metric_cnt = 0
 

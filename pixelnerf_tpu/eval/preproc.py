@@ -74,31 +74,61 @@ def grabcut_segment(im: np.ndarray, iters: int = 5) -> np.ndarray:
 
 
 def normalize_image(
-    im: np.ndarray, mask: np.ndarray, size: int = 128, margin_frac: float = 0.15
+    im: np.ndarray,
+    mask: np.ndarray,
+    size: int = 128,
+    scale: float = 4.37,
+    major_scale: float = 0.8,
 ) -> np.ndarray:
-    """Square crop around the mask with margin, white-composite, resize."""
-    from pixelnerf_tpu.data.common import resize_area_np
+    """Ellipse-fit square crop, white-composite, resize.
+
+    Matches the reference's framing semantics (scripts/preproc.py:240-287):
+    fit an ellipse to the largest external contour of the mask, center the
+    square crop at the ellipse center with radius
+    ``max(minor_axis * scale, major_axis * major_scale) / 2`` (reference
+    defaults -S 4.37 -M 0.8), composite outside-mask pixels to white, and
+    resize to ``size`` with bilinear interpolation. Falls back to a
+    bbox-centered crop when the contour is too small to fit an ellipse
+    (< 5 points).
+    """
+    import cv2
 
     ys, xs = np.where(mask > 0.5)
     if len(ys) == 0:
         raise ValueError("Empty segmentation mask")
-    cy, cx = (ys.min() + ys.max()) / 2, (xs.min() + xs.max()) / 2
-    half = max(ys.max() - ys.min(), xs.max() - xs.min()) / 2 * (1 + margin_frac)
-    half = int(np.ceil(half))
 
-    H, W = im.shape[:2]
+    mask_u8 = (mask > 0.5).astype(np.uint8) * 255
+    cnt, _ = cv2.findContours(
+        mask_u8, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    cnt = max(cnt, key=cv2.contourArea) if cnt else None
+    if cnt is not None and len(cnt) >= 5:
+        ellipse = cv2.fitEllipse(cnt)
+        (ecx, ecy), (ax0, ax1) = ellipse[0], ellipse[1]
+        min_ax, max_ax = min(ax0, ax1), max(ax0, ax1)
+        cx, cy = int(round(ecx)), int(round(ecy))
+        half = int(np.ceil(max(min_ax * scale, max_ax * major_scale) * 0.5))
+    else:  # degenerate contour: bbox center, bbox-extent radius
+        cy = int(round((ys.min() + ys.max()) / 2))
+        cx = int(round((xs.min() + xs.max()) / 2))
+        half = int(
+            np.ceil(max(ys.max() - ys.min(), xs.max() - xs.min()) * 0.5)
+        ) + 1
+
     comp = im[..., :3].astype(np.float32) * mask[..., None] + 255.0 * (
         1.0 - mask[..., None]
     )
-    # pad so the square crop always fits
+    # pad so the square crop always fits (outside-photo area is white,
+    # same as the reference's replicate-pad + zero-padded-mask composite)
     pad = half + 1
     comp = np.pad(
         comp, ((pad, pad), (pad, pad), (0, 0)), constant_values=255.0
     )
-    cy, cx = int(cy) + pad, int(cx) + pad
-    crop = comp[cy - half : cy + half, cx - half : cx + half]
-    out = resize_area_np(crop[None] / 255.0, (size, size))[0]
-    return (out * 255).astype(np.uint8)
+    crop = comp[cy + pad - half : cy + pad + half, cx + pad - half : cx + pad + half]
+    out = cv2.resize(
+        crop, (size, size), interpolation=cv2.INTER_LINEAR
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def main(argv=None):

@@ -190,12 +190,20 @@ def shard_train_step_shmap(train_step, mesh: Mesh, n_outputs: int = 2):
     """
     try:  # jax>=0.8 top-level API; the experimental alias is deprecated
         from jax import shard_map
-
-        _rep_kwargs = {"check_vma": False}
     except ImportError:
         from jax.experimental.shard_map import shard_map
+    # the replication-check kwarg was renamed check_rep -> check_vma; key on
+    # the actual signature, not on which import succeeded (a jax where the
+    # top-level API still takes check_rep would TypeError at trace time)
+    import inspect
 
+    _params = inspect.signature(shard_map).parameters
+    if "check_vma" in _params:
+        _rep_kwargs = {"check_vma": False}
+    elif "check_rep" in _params:
         _rep_kwargs = {"check_rep": False}
+    else:
+        _rep_kwargs = {}
     from jax.sharding import PartitionSpec
 
     P_ = PartitionSpec
