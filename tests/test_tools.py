@@ -470,3 +470,36 @@ def test_make_pollen_meshes_valid_stl(tmp_path):
     assert radii.std() > 0.01 and 0.5 < radii.min() and radii.max() < 1.8
     # grains differ from each other (per-mesh RNG streams)
     assert not np.allclose(read_stl(str(stls[1])), tris)
+
+
+def test_export_checkpoint_bf16_roundtrip(tmp_path):
+    """tools/export_checkpoint: bf16 export halves the artifact, import
+    restores an f32 live checkpoint within bf16 round-off; batch_stats
+    stay exact f32 through the cycle."""
+    import flax.serialization
+
+    from pixelnerf_tpu.tools.export_checkpoint import main
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "params": {"lin": {"kernel": rng.normal(size=(64, 32)).astype(np.float32),
+                           "bias": np.zeros((32,), np.float32)}},
+        "batch_stats": {"bn": {"mean": rng.normal(size=(7,)).astype(np.float32)}},
+    }
+    src = tmp_path / "pixel_nerf_latest"
+    src.write_bytes(flax.serialization.msgpack_serialize(tree))
+
+    art = tmp_path / "model_bf16.ckpt"
+    main(["export", "--ckpt", str(src), "--out", str(art)])
+    assert art.stat().st_size < src.stat().st_size * 0.75
+
+    dst = tmp_path / "restored" / "pixel_nerf_latest"
+    main(["import", "--artifact", str(art), "--ckpt", str(dst)])
+    out = flax.serialization.msgpack_restore(dst.read_bytes())
+    k = out["params"]["lin"]["kernel"]
+    assert k.dtype == np.float32
+    assert np.max(np.abs(k - tree["params"]["lin"]["kernel"])) < 2 ** -8 * 4
+    # batch_stats bypass the bf16 cast entirely
+    np.testing.assert_array_equal(
+        out["batch_stats"]["bn"]["mean"], tree["batch_stats"]["bn"]["mean"]
+    )
