@@ -240,3 +240,32 @@ def test_batch_loader_image_cache():
         data, np.random.default_rng(0), nviews=[2], compact_transfer=True
     )
     np.testing.assert_array_equal(sb["images_u8"], data["images_u8"])
+
+
+def test_make_step_batch_mixed_nviews(tmp_path):
+    """The reference's mixed source-view regime (train.py:203-221,
+    README `-V "1 2"`): one NS drawn PER BATCH from the nviews list —
+    both counts must occur across draws, NS=2 picks without replacement,
+    and every batch keeps a consistent (SB, NS, ...) shape."""
+    datadir = make_srn_dataset(str(tmp_path), n_objs=3, nv=4, H=16)
+    dset = get_split_dataset("srn", datadir, want_split="train", image_size=(16, 16))
+    loader = BatchLoader(dset, batch_size=2, shuffle=False, seed=0)
+    batch = next(iter(loader))
+
+    rng = np.random.default_rng(7)
+    seen = set()
+    for _ in range(30):
+        step = make_step_batch(batch, rng, nviews=[1, 2])
+        ns = step["src_images"].shape[1]
+        seen.add(ns)
+        assert step["src_poses"].shape == (2, ns, 4, 4)
+        if ns == 2:  # without replacement: the two views differ
+            assert (
+                np.abs(step["src_poses"][:, 0] - step["src_poses"][:, 1]).max()
+                > 1e-6
+            )
+    assert seen == {1, 2}
+
+    # compact-transfer variant carries the same contract via image_ord
+    step = make_step_batch(batch, rng, nviews=[1], compact_transfer=True)
+    assert step["image_ord"].shape == (2, 1)
