@@ -353,16 +353,36 @@ class PixelNeRFNet(nn.Module):
                 return a.reshape(SB * NS, -1, k, a.shape[-1])
 
             if cache is not None:
+                # Two MLP calls over the disjoint [cached | new] rows, then
+                # a per-ray concat of the tiny (R, K, d_out) OUTPUTS. A
+                # sample-axis concat of the INPUTS is what the reference's
+                # merged-z evaluation implies, but XLA lowers that concat
+                # as pad+pad+maximum — three full passes over the
+                # (R, Kc+Kf, d_latent) latent (~5 GB/step at bench shapes,
+                # visible as pad_maximum_fusion in the HLO) plus slice
+                # fusions for its cotangent. The field is pointwise, so
+                # call grouping cannot change any per-sample output.
                 r_rays, kc = cache.z.shape[1], cache.z.shape[2]
                 kf = B // r_rays
-                z_part = jnp.concatenate(
-                    [cache.z, _per_ray(z_part, kf)], axis=2
-                ).reshape(-1, z_part.shape[-1])
-                if x_part is not None:
-                    x_part = jnp.concatenate(
-                        [cache.x, _per_ray(x_part, kf)], axis=2
-                    ).reshape(-1, x_part.shape[-1])
-                B = r_rays * (kc + kf)
+                zc = cache.z.reshape(-1, cache.z.shape[-1])
+                in_c = (
+                    zc
+                    if cache.x is None
+                    else (zc, cache.x.reshape(-1, cache.x.shape[-1]))
+                )
+                in_n = z_part if x_part is None else (z_part, x_part)
+                with jax.named_scope("resnetfc_infer"):
+                    out_c = mlp(in_c, combine_inner_dims=(NS, r_rays * kc))
+                    out_n = mlp(in_n, combine_inner_dims=(NS, B))
+                d_out = out_c.shape[-1]
+                mlp_output = jnp.concatenate(
+                    [
+                        out_c.reshape(SB, r_rays, kc, d_out),
+                        out_n.reshape(SB, r_rays, kf, d_out),
+                    ],
+                    axis=2,
+                )
+                return self._head(mlp_output, SB, r_rays * (kc + kf))
             mlp_input = z_part if x_part is None else (z_part, x_part)
 
         with jax.named_scope("resnetfc_infer"):
