@@ -503,3 +503,35 @@ def test_export_checkpoint_bf16_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         out["batch_stats"]["bn"]["mean"], tree["batch_stats"]["bn"]["mean"]
     )
+
+
+def test_normalize_image_ellipse_framing_and_fallback(tmp_path):
+    """normalize_image follows the reference's ellipse-fit framing
+    (scripts/preproc.py:240-270): crop radius = max(min_ax*S, max_ax*M)/2
+    around the ellipse center. For a centered disc of radius r the crop
+    half-side is ~r*S/... = diameter*S/2, so the disc occupies ~1/S of
+    the output width. Degenerate (<5 px) masks fall back to a bbox crop
+    without crashing."""
+    from pixelnerf_tpu.eval.preproc import normalize_image
+
+    H = W = 256
+    img = np.full((H, W, 3), 90, dtype=np.uint8)
+    yy, xx = np.mgrid[0:H, 0:W]
+    mask = ((yy - 120) ** 2 + (xx - 140) ** 2 < 40**2).astype(np.float32)
+    out = normalize_image(img, mask, size=128)
+    assert out.shape == (128, 128, 3)
+    obj = (out.astype(int).sum(-1) < 3 * 250)
+    ys, xs = np.nonzero(obj)
+    # ellipse of a disc: min_ax == max_ax == 80 -> half = 80*4.37/2 ~ 175
+    # -> object diameter in the 128 crop ~ 80/(2*175)*128 ~ 29 px
+    width = xs.max() - xs.min()
+    assert 20 < width < 45, width
+    # centered: the ellipse center maps to the crop center
+    assert abs((xs.max() + xs.min()) / 2 - 64) < 6
+    assert abs((ys.max() + ys.min()) / 2 - 64) < 6
+
+    # degenerate mask: 2 pixels -> bbox fallback, no crash
+    tiny = np.zeros((H, W), np.float32)
+    tiny[10, 10] = tiny[10, 11] = 1.0
+    out2 = normalize_image(img, tiny, size=32)
+    assert out2.shape == (32, 32, 3)
