@@ -165,6 +165,7 @@ def index_features(
     index_padding: str = "border",
     allow_fused: bool = True,
     upsample_interp: str = "bilinear",
+    dual: bool = False,
 ) -> jnp.ndarray:
     """Pixel-aligned feature lookup.
 
@@ -175,7 +176,13 @@ def index_features(
     :param image_size (2,) [W, H] of the input image
     :param allow_fused permit the Pallas gather/scatter path; pass False
         under GSPMD auto-partitioning (cannot split pallas_call)
-    :return (B, N, C)
+    :param dual return the latent TWICE (for two independent consumers —
+        the coarse MLP and the fine pass's QueryCache). On the fused
+        pyramid path the two cotangents are summed inside the scatter
+        kernel (pyramid_index_train_dual) instead of as a full-size HBM
+        add; on every other path the same array is returned twice and
+        autodiff sums normally.
+    :return (B, N, C); with dual, a pair of (B, N, C)
     Reference: SpatialEncoder.index, src/model/encoder.py:80-109.
 
     On TPU with the default bilinear/border lookup and bf16 features, the
@@ -199,8 +206,12 @@ def index_features(
         if pyramid_fused_ok(
             levels, index_interp, index_padding, allow_fused, upsample_interp
         ):
-            from pixelnerf_tpu.ops.pyramid_pallas import pyramid_index_train
+            from pixelnerf_tpu.ops.pyramid_pallas import (
+                pyramid_index_train, pyramid_index_train_dual,
+            )
 
+            if dual:
+                return pyramid_index_train_dual(levels, grid)
             return pyramid_index_train(levels, grid)
         # safety-net compose; encode() normally composes once up front
         # when the fused path is statically unavailable
@@ -218,11 +229,13 @@ def index_features(
         )
 
         if fused_supported(latent.shape[1], latent.shape[2]):
-            return grid_sample_border_train(latent, grid)
-    return grid_sample_2d(
+            out = grid_sample_border_train(latent, grid)
+            return (out, out) if dual else out
+    out = grid_sample_2d(
         latent, grid, padding_mode=index_padding, align_corners=True,
         mode=index_interp,
     )
+    return (out, out) if dual else out
 
 
 class SpatialEncoder(nn.Module):

@@ -243,34 +243,60 @@ class PixelNeRFNet(nn.Module):
         # (models.py:156, encoder.py:90, resnetfc.py:139) for xprof traces
         xyz_rep = repeat_interleave(xyz, NS)  # (SB*NS, B, 3)
         rot = enc.poses[:, :3, :3]
-        xyz_rot = jnp.einsum("nij,nbj->nbi", rot, xyz_rep)
+        # rotation as broadcast multiply + 3-term reduce, NOT einsum: a
+        # (3,3)-per-batch dot forces an XLA convolution with narrow-minor
+        # T(4,128) layouts and a relayout copy of every (M, 3) product;
+        # the elementwise form fuses into the surrounding chain
+        xyz_rot = jnp.sum(rot[:, None] * xyz_rep[:, :, None, :], axis=-1)
         xyz_cam = xyz_rot + enc.poses[:, None, :3, 3]  # (SB*NS, B, 3)
 
         mlp_input = None
         if self.d_in > 0:
-            if self.use_xyz:
-                z_feature = (xyz_rot if self.normalize_z else xyz_cam).reshape(-1, 3)
-            else:
-                z_feature = -(
-                    xyz_rot[..., 2] if self.normalize_z else xyz_cam[..., 2]
-                ).reshape(-1, 1)
+            if self._posenc_fused_ok():
+                # single-pass Pallas field-input builder: posenc + viewdir
+                # concat emitted directly in the MLP operand dtype (the XLA
+                # chain materializes ~480 MB/step of transposed-layout f32
+                # intermediates at bench shapes — ops/posenc_pallas.py)
+                from pixelnerf_tpu.ops.posenc_pallas import posenc_concat
 
-            if self.use_code and not self.use_code_viewdirs:
-                z_feature = self.code(z_feature)
-
-            if self.use_viewdirs:
-                assert viewdirs is not None
+                base = (
+                    xyz_rot if self.normalize_z else xyz_cam
+                ).reshape(-1, 3)
                 vd = repeat_interleave(viewdirs.reshape(SB, B, 3), NS)
-                vd = jnp.einsum("nij,nbj->nbi", rot, vd).reshape(-1, 3)
-                z_feature = jnp.concatenate([z_feature, vd], axis=1)
+                vd = jnp.sum(rot[:, None] * vd[:, :, None, :], axis=-1)
+                mlp_input = posenc_concat(
+                    base, vd.reshape(-1, 3),
+                    self.code.num_freqs, self.code.freq_factor,
+                    out_dtype=self.dtype,
+                )
+            else:
+                if self.use_xyz:
+                    z_feature = (
+                        xyz_rot if self.normalize_z else xyz_cam
+                    ).reshape(-1, 3)
+                else:
+                    z_feature = -(
+                        xyz_rot[..., 2] if self.normalize_z else xyz_cam[..., 2]
+                    ).reshape(-1, 1)
 
-            if self.use_code and self.use_code_viewdirs:
-                z_feature = self.code(z_feature)
+                if self.use_code and not self.use_code_viewdirs:
+                    z_feature = self.code(z_feature)
 
-            mlp_input = z_feature  # (SB*NS*B, d_in)
+                if self.use_viewdirs:
+                    assert viewdirs is not None
+                    vd = repeat_interleave(viewdirs.reshape(SB, B, 3), NS)
+                    vd = jnp.sum(rot[:, None] * vd[:, :, None, :], axis=-1)
+                    vd = vd.reshape(-1, 3)
+                    z_feature = jnp.concatenate([z_feature, vd], axis=1)
+
+                if self.use_code and self.use_code_viewdirs:
+                    z_feature = self.code(z_feature)
+
+                mlp_input = z_feature  # (SB*NS*B, d_in)
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
 
+        latent_cache = None  # dual-gather second output (see below)
         if self.use_encoder:
             # perspective projection into each source view (models.py:204-215)
             uv = -xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]  # (SB*NS, B, 2)
@@ -304,6 +330,14 @@ class PixelNeRFNet(nn.Module):
                     mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
                 return self._head(mlp_output, SB, B)
 
+            # the coarse pass's latent has TWO independent consumers (the
+            # coarse MLP and the fine pass's QueryCache); ask the gather
+            # for a dual output so the scatter kernel sums the two
+            # cotangents on the VMEM tile instead of XLA materializing a
+            # full (M, C) add before it. Global-encoder models prepend gl
+            # to the latent below, so they keep the single-output path.
+            want_dual = bool(want_cache) and not self.use_global_encoder
+            latent_cache = None
             with jax.named_scope("encoder_index"):
                 latent = index_features(
                     enc.latent, enc.latent_scaling, uv, enc.image_size,
@@ -311,10 +345,17 @@ class PixelNeRFNet(nn.Module):
                     index_padding=self.encoder.index_padding,
                     allow_fused=self.use_fused_gather,
                     upsample_interp=self.encoder.upsample_interp,
+                    dual=want_dual,
                 )  # (SB*NS, B, C)
+            if want_dual:
+                latent, latent_cache = latent
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
+                if latent_cache is not None:
+                    latent_cache = jax.lax.stop_gradient(latent_cache)
             latent = latent.reshape(-1, latent.shape[-1])
+            if latent_cache is not None:
+                latent_cache = latent_cache.reshape(-1, latent_cache.shape[-1])
 
             if self.d_in == 0:
                 mlp_input = latent
@@ -389,8 +430,9 @@ class PixelNeRFNet(nn.Module):
             mlp_output = mlp(mlp_input, combine_inner_dims=(NS, B))
         out = self._head(mlp_output, SB, B)
         if want_cache:
+            z_for_cache = latent_cache if latent_cache is not None else z_part
             cache_out = QueryCache(
-                z=_per_ray(z_part, want_cache),
+                z=_per_ray(z_for_cache, want_cache),
                 x=None if x_part is None else _per_ray(x_part, want_cache),
             )
             return out, cache_out
@@ -409,6 +451,31 @@ class PixelNeRFNet(nn.Module):
         rgb = jax.nn.sigmoid(mlp_output[..., :3])
         sigma = jax.nn.relu(mlp_output[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1).reshape(SB, B, -1)
+
+    def _posenc_fused_ok(self) -> bool:
+        """Static (trace-time) predicate for the fused field-input builder
+        (ops/posenc_pallas.py): exactly the reference's
+        [xyz, code(xyz), viewdirs] layout, bf16 compute (like every fused
+        kernel — f32 models keep the exact XLA chain), TPU backend, and
+        the same master switch as the gather kernels."""
+        import jax as _jax
+
+        from pixelnerf_tpu.ops.posenc_pallas import posenc_supported
+
+        return (
+            self.d_in > 0
+            and self.use_xyz
+            and self.use_code
+            and not self.use_code_viewdirs
+            and self.use_viewdirs
+            and self.use_fused_gather
+            and self.dtype == jnp.bfloat16
+            and posenc_supported(
+                3, self.code.num_freqs, self.code.include_input
+            )
+            and self.code.d_out + 3 == self.d_in
+            and _jax.default_backend() == "tpu"
+        )
 
     def _field_fused_ok(self, enc: SceneEncoding, mlp, ns: int) -> bool:
         """Static (trace-time) predicate for the fully-fused gather+field

@@ -35,14 +35,19 @@ the XLA compose path).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pyramid_gather", "pyramid_scatter_add", "pyramid_index_train"]
+__all__ = [
+    "pyramid_gather",
+    "pyramid_scatter_add",
+    "pyramid_index_train",
+    "pyramid_index_train_dual",
+]
 
 # (TN, P_fine) one-hot tiles must fit VMEM (same bound as scatter_pallas)
 _MAX_FINE_PIXELS = 8192
@@ -162,12 +167,18 @@ def _gather_kernel(uv_ref, *refs, hws, fine_hw):
     out_ref[0] = jnp.concatenate(vals, axis=-1).astype(out_ref.dtype)
 
 
-def _scatter_kernel(uv_ref, dz_ref, *refs, hws, fine_hw, csizes):
+def _scatter_kernel(uv_ref, dz_ref, *refs, hws, fine_hw, csizes, dual):
     nl = len(hws)
+    if dual:
+        dz2_ref, refs = refs[0], refs[1:]
     e_refs = refs[:nl]
     out_refs = refs[nl:]
     uv = uv_ref[0]
     dz_full = dz_ref[0]  # (TN, sum C_l) in matmul dtype
+    if dual:
+        # second cotangent summed on the VMEM tile — the (M, C) add never
+        # materializes in HBM (see pyramid_index_train_dual)
+        dz_full = dz_full + dz2_ref[0]
     x, y = _fine_coords(uv, *fine_hw)
     first = pl.program_id(1) == 0
     c0 = 0
@@ -275,6 +286,7 @@ def pyramid_scatter_add(
     hws: Sequence[Tuple[int, int]],
     fine_hw: Tuple[int, int],
     interpret: bool = False,
+    dz2: Optional[jnp.ndarray] = None,
 ):
     """Scatter the concatenated cotangent back onto the native grids.
 
@@ -284,6 +296,9 @@ def pyramid_scatter_add(
         matching the forward's rounding); the kernel lane-slices each
         level's channel block — no per-level splits materialize
     :param csizes per-level channel counts, concat order
+    :param dz2 optional second cotangent, same shape/dtype as dz; summed
+        with dz on the VMEM tile inside the kernel (the dual-consumer
+        path of pyramid_index_train_dual)
     :return [d_feat_l (B, H_l, W_l, C_l) f32]
     """
     csizes = tuple(int(c) for c in csizes)
@@ -293,28 +308,33 @@ def pyramid_scatter_add(
     if pad:
         uv = jnp.pad(uv, ((0, 0), (0, pad), (0, 0)), constant_values=-1.0)
         dz = jnp.pad(dz, ((0, 0), (0, pad), (0, 0)))
+        if dz2 is not None:
+            dz2 = jnp.pad(dz2, ((0, 0), (0, pad), (0, 0)))
     npad = N + pad
     csum = dz.shape[-1]
     assert csum == sum(csizes)
+    dual = dz2 is not None
 
     out_shapes = tuple(
         jax.ShapeDtypeStruct((B, c, h * w), jnp.float32)
         for c, (h, w) in zip(csizes, hws)
     )
+    dz_spec = pl.BlockSpec(
+        (1, _TN, csum), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
     outs = pl.pallas_call(
         functools.partial(
-            _scatter_kernel, hws=hws, fine_hw=tuple(fine_hw), csizes=csizes
+            _scatter_kernel, hws=hws, fine_hw=tuple(fine_hw), csizes=csizes,
+            dual=dual,
         ),
         grid=(B, npad // _TN),
         in_specs=[
             pl.BlockSpec(
                 (1, _TN, 2), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, _TN, csum), lambda b, t: (b, t, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            dz_spec,
         ]
+        + ([dz_spec] if dual else [])
         + [_const_spec((h, h * w)) for (h, w) in hws],
         out_specs=tuple(
             pl.BlockSpec(
@@ -330,6 +350,7 @@ def pyramid_scatter_add(
     )(
         uv.astype(jnp.float32),
         dz,
+        *([dz2] if dual else []),
         *[_row_expander(h, w, dz.dtype) for (h, w) in hws],
     )
     return [
@@ -375,3 +396,43 @@ def _pit_bwd(interpret, residuals, g):
 
 
 pyramid_index_train.defvjp(_pit_fwd, _pit_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pyramid_index_train_dual(
+    feats: Tuple[jnp.ndarray, ...], uv: jnp.ndarray, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-consumer variant of `pyramid_index_train`: returns the SAME
+    gathered latent twice so a caller can feed two independent consumers
+    (the coarse MLP and the fine pass's QueryCache). Autodiff then hands
+    the VJP both cotangents separately, and the scatter kernel sums them
+    on the VMEM tile — without this, XLA materializes the (M, sum C) sum
+    of the two branches as a full HBM pass (`add_any`, ~2.4 ms/step at
+    bench shapes) before the scatter."""
+    out = pyramid_gather(feats, uv, interpret=interpret)
+    return out, out
+
+
+def _pitd_fwd(feats, uv, interpret):
+    out = pyramid_gather(feats, uv, interpret=interpret)
+    tokens = tuple(
+        jnp.empty((f.shape[1], f.shape[2], f.shape[3], 0), f.dtype)
+        for f in feats
+    )
+    return (out, out), (uv, tokens)
+
+
+def _pitd_bwd(interpret, residuals, gs):
+    uv, tokens = residuals
+    g1, g2 = gs
+    hws = [(t.shape[0], t.shape[1]) for t in tokens]
+    csizes = [t.shape[2] for t in tokens]
+    d_feats = pyramid_scatter_add(
+        uv, g1.astype(tokens[0].dtype), csizes, hws, hws[0],
+        interpret=interpret, dz2=g2.astype(tokens[0].dtype),
+    )
+    d_feats = tuple(d.astype(tok.dtype) for d, tok in zip(d_feats, tokens))
+    return d_feats, jnp.zeros_like(uv)
+
+
+pyramid_index_train_dual.defvjp(_pitd_fwd, _pitd_bwd)

@@ -121,3 +121,34 @@ def test_index_features_tuple_fallback_matches_single_map():
     a = index_features(levels, scaling, uv, image_size)
     b = index_features(latent, scaling, uv, image_size)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_dual_gather_matches_single_with_summed_cotangents():
+    """pyramid_index_train_dual returns the gather twice; its VJP must
+    equal the single path's VJP applied to the SUM of the two consumers'
+    cotangents (the in-kernel tile add replacing XLA's add_any)."""
+    from pixelnerf_tpu.ops.pyramid_pallas import pyramid_index_train_dual
+
+    levels = _levels(_STACKS[1])
+    uv = _uv(n=37)
+
+    def loss_dual(levels):
+        a, b = pyramid_index_train_dual(levels, uv, True)
+        # two DIFFERENT consumers -> two different cotangents
+        return jnp.sum(a**2) + jnp.sum(jnp.sin(b) * 0.5)
+
+    def loss_single(levels):
+        z = pyramid_index_train(levels, uv, True)
+        return jnp.sum(z**2) + jnp.sum(jnp.sin(z) * 0.5)
+
+    va, ga = jax.value_and_grad(loss_dual)(levels)
+    vb, gb = jax.value_and_grad(loss_single)(levels)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6
+        )
+
+    # forward outputs are the same buffer's values
+    a, b = pyramid_index_train_dual(levels, uv, True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
