@@ -62,14 +62,21 @@ def main(argv=None):
         H = W = sz[0]
     else:
         W, H = sz
-    focal = args.focal * W / in_sz
+    # --focal is given at the INPUT (encoded-image) resolution, like the
+    # reference's absolute focal (eval/eval_real.py:44,86). The render
+    # rays scale it to the output resolution; the ENCODER must keep the
+    # input-scale value — its projection lands in the in_sz feature map
+    # (using the render-scaled focal there compresses every projected
+    # query point by out/in, a bug whenever out_size != size).
+    focal_render = args.focal * W / in_sz
+    focal_encode = args.focal
 
     model = make_model(conf["model"])
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 1, in_sz, in_sz, 3)),
         jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
-        jnp.asarray([focal]),
+        jnp.asarray([focal_encode]),
         jnp.zeros((1, 8, 3)),
         viewdirs=jnp.zeros((1, 8, 3)),
     )
@@ -89,7 +96,7 @@ def main(argv=None):
     )
     all_rays = np.asarray(
         gen_rays(
-            jnp.asarray(render_poses), W, H, jnp.asarray(focal),
+            jnp.asarray(render_poses), W, H, jnp.asarray(focal_render),
             args.z_near, args.z_far,
         )
     ).reshape(-1, 8)
@@ -127,7 +134,7 @@ def main(argv=None):
             variables,
             jnp.asarray(img)[None][None],  # (1, 1, H, W, 3)
             jnp.asarray(cam_pose)[None][None],
-            jnp.asarray([focal]),
+            jnp.asarray([focal_encode]),
             None,
             method="encode",
         )
