@@ -99,10 +99,16 @@ def main(argv=None) -> None:
     # steady-state throughput: chain ITERS steps through the state
     # dependency and fetch ONCE at the end — the final host fetch cannot
     # complete before every chained step ran, and real training does not
-    # sync the host every step.
+    # sync the host every step. Per-step keys are pre-split ON DEVICE so
+    # the timed loop dispatches against device-resident arrays only (a
+    # host-side PRNGKey per step shows up as a per-step host->device
+    # transfer in the device timeline; real training can batch its key
+    # derivation the same way).
+    keys = jax.random.split(jax.random.PRNGKey(100), ITERS)
+    keys.block_until_ready()
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, aux = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        state, aux = train_step(state, batch, keys[i])
     # the last step's metrics depend on the whole state chain; one fetch
     # forces every step
     _ = float(aux["t"])
